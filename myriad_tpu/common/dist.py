@@ -1,0 +1,92 @@
+"""Single-controller distributed helpers.
+
+TPU-native replacement for the reference's torchrun/NCCL process-group setup
+(reference minigpt4/common/dist_utils.py:17-137).  JAX is single-controller
+per host: ``jax.distributed.initialize`` joins the multi-host job and all
+collectives run through XLA over ICI/DCN, so most of the reference's rank
+plumbing reduces to ``jax.process_index``.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from typing import Tuple
+
+import jax
+import numpy as np
+
+
+_initialized = False
+
+
+def init_distributed_mode(run_cfg=None) -> None:
+    """Join a multi-host JAX job when coordinator env vars are present.
+
+    The reference reads torchrun/SLURM env vars and calls
+    ``init_process_group`` (dist_utils.py:57-90); here the equivalent is
+    ``jax.distributed.initialize``, which JAX auto-configures on TPU pods.
+    A single-process run (no coordinator configured) is a silent no-op.
+    """
+    global _initialized
+    if _initialized:
+        return
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if coordinator or os.environ.get("MYRIAD_AUTO_DIST", "0") == "1":
+        jax.distributed.initialize()
+        _initialized = True
+        logging.info(
+            "initialized jax.distributed: process %d/%d",
+            jax.process_index(),
+            jax.process_count(),
+        )
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return get_rank() == 0
+
+
+def is_dist_avail_and_initialized() -> bool:
+    return get_world_size() > 1
+
+
+def main_process(func):
+    """Run ``func`` only on the main process (reference dist_utils.py:107-114)."""
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        if is_main_process():
+            return func(*args, **kwargs)
+        return None
+
+    return wrapper
+
+
+def all_sum_scalars(*values: float) -> Tuple[float, ...]:
+    """Sum python scalars across hosts (replaces metric all_reduce)."""
+    if get_world_size() <= 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray(values, dtype=np.float64)
+    gathered = multihost_utils.process_allgather(arr)
+    return tuple(np.sum(gathered, axis=0).tolist())
+
+
+def barrier(name: str = "barrier") -> None:
+    if get_world_size() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

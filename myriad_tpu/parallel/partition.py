@@ -1,0 +1,118 @@
+"""Regex-based GSPMD sharding rules for parameter pytrees.
+
+The reference replicates every parameter per GPU (plain DDP).  On TPU the
+frozen 8.6B-parameter tower set must be sharded to fit v5e HBM
+(SURVEY.md §7.3 risk 5), so parameters are assigned ``PartitionSpec``s by
+matching their flattened path against ordered regex rules.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Rule = Tuple[str, P]
+
+
+def param_path(key_path) -> str:
+    """Flatten a jax tree key path to 'a/b/c'."""
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def spec_for(path: str, rules: Sequence[Rule]) -> P:
+    for pattern, spec in rules:
+        if re.search(pattern, path):
+            return spec
+    return P()
+
+
+def tree_shardings(params, mesh: Mesh, rules: Sequence[Rule]):
+    """Map every leaf to a NamedSharding chosen by the first matching rule.
+
+    A rule whose spec doesn't divide the actual shape falls back to
+    replication (keeps tiny heads/tails valid on any mesh).
+    """
+
+    def assign(key_path, leaf):
+        path = param_path(key_path)
+        spec = spec_for(path, rules)
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if len(spec) > getattr(leaf, "ndim", 0):
+            return NamedSharding(mesh, P())
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            names = (axis,) if isinstance(axis, str) else tuple(axis)
+            size = 1
+            for n in names:
+                size *= axis_sizes[n]
+            if leaf.shape[dim] % size != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+# -- default rule set ---------------------------------------------------------
+# Megatron-style sharding over the 'model' axis:
+#  * attention q/k/v and MLP up/gate: shard output features (column parallel)
+#  * attention out-proj and MLP down: shard input features (row parallel)
+#  * embeddings / lm_head: shard the vocab/feature dim
+# Biases/norms and everything unmatched stay replicated.
+LLAMA_RULES: List[Rule] = [
+    (r"(q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
+    (r"(gate_proj|up_proj)/kernel$", P(None, "model")),
+    (r"o_proj/kernel$", P("model", None)),
+    (r"down_proj/kernel$", P("model", None)),
+    (r"embed_tokens/embedding$", P(None, "model")),
+    (r"lm_head/kernel$", P(None, "model")),
+    (r"lora_a/kernel$", P()),
+    (r"lora_b/kernel$", P(None, "model")),
+]
+
+VIT_RULES: List[Rule] = [
+    (r"(qkv|q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
+    (r"(proj|o_proj)/kernel$", P("model", None)),
+    (r"fc1/kernel$", P(None, "model")),
+    (r"fc2/kernel$", P("model", None)),
+]
+
+IMAGEBIND_RULES: List[Rule] = [
+    (r"in_proj/kernel$", P(None, "model")),
+    (r"out_proj/kernel$", P("model", None)),
+    (r"fc1/kernel$", P(None, "model")),
+    (r"fc2/kernel$", P("model", None)),
+]
+
+QFORMER_RULES: List[Rule] = [
+    (r"(query|key|value)/kernel$", P(None, "model")),
+    (r"attn_out/kernel$", P("model", None)),
+    (r"intermediate\w*/kernel$", P(None, "model")),
+    (r"output\w*/kernel$", P("model", None)),
+]
+
+
+def myriad_rules() -> List[Rule]:
+    """Combined rule set for the composed Myriad model tree."""
+    rules: List[Rule] = []
+    for prefix, sub in (
+        (r"llama/", LLAMA_RULES),
+        (r"visual_encoder/", VIT_RULES),
+        (r"vision_expert/", IMAGEBIND_RULES),
+        (r"qformer/", QFORMER_RULES),
+    ):
+        rules.extend((prefix + r".*" + pat if not pat.startswith("^") else pat, spec) for pat, spec in sub)
+    return rules
