@@ -1,0 +1,69 @@
+"""Base model plumbing (reference minigpt4/models/base_model.py:19-118).
+
+Models here are *not* flax modules themselves: a model class owns
+
+* a flax module tree (``self.module``)
+* a parameter pytree split into ``trainable`` / ``frozen`` collections
+  (the functional replacement for requires_grad freezing)
+* config plumbing: ``from_config`` / ``default_config_path`` /
+  checkpoint load
+
+so the jitted train/eval steps stay pure functions over pytrees.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from myriad_tpu.common.registry import registry
+
+
+class BaseModel:
+    PRETRAINED_MODEL_CONFIG_DICT: Dict[str, str] = {}
+
+    @classmethod
+    def default_config_path(cls, model_type: str) -> Optional[str]:
+        rel = cls.PRETRAINED_MODEL_CONFIG_DICT.get(model_type)
+        if rel is None:
+            return None
+        return os.path.join(registry.get_path("library_root"), rel)
+
+    @classmethod
+    def from_config(cls, cfg):  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    # -- parameter bookkeeping -------------------------------------------------
+    @staticmethod
+    def count_params(tree) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(tree))
+
+    def show_n_params(self) -> str:
+        total = 0
+        for name in ("trainable", "frozen"):
+            tree = getattr(self, name, None)
+            if tree is not None:
+                total += self.count_params(tree)
+        if total > 1e9:
+            return f"{total / 1e9:.1f}B"
+        if total > 1e6:
+            return f"{total / 1e6:.1f}M"
+        return f"{total / 1e3:.1f}K"
+
+    # -- checkpoint load (url/file, non-strict) ---------------------------------
+    def load_checkpoint(self, url_or_filename: str) -> None:
+        """Merge a saved trainable-param tree into this model (strict=False
+        semantics of the reference: unknown keys ignored, missing kept)."""
+        from myriad_tpu import checkpoint as ckpt_lib
+
+        tree = ckpt_lib.load_params(url_or_filename)
+        merged, loaded, skipped = ckpt_lib.merge_trees(self.trainable, tree)
+        self.trainable = merged
+        logging.info(
+            "load checkpoint from %s (%d leaves loaded, %d unknown)",
+            url_or_filename, loaded, skipped,
+        )
