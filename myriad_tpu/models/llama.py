@@ -1,0 +1,384 @@
+"""LLaMA (Vicuna-7B) decoder in flax with a functional KV cache.
+
+Replaces the reference's HF fork (minigpt4/models/modeling_llama.py), whose
+three deltas map here as:
+
+* ``query_embeds``/multimodal prefix (modeling_llama.py:499-502) — the model
+  natively takes ``inputs_embeds``; callers concatenate BOS/prefix/text
+  embeddings before calling.
+* clamped-CE fp16 NaN workaround (modeling_llama.py:695-729) — replaced by
+  an fp32 cross-entropy island over bf16 activations (no clamps needed).
+* ``prepare_inputs_for_generation`` embeds-first-step handling
+  (modeling_llama.py:730-762) — generation is an explicit prefill +
+  ``lax.while_loop`` decode over a preallocated KV cache
+  (myriad_tpu/generation.py) instead of HF's Python loop.
+
+Decode attention dispatches to a Pallas kernel on TPU
+(myriad_tpu/ops/decode_attention.py) and to plain XLA elsewhere.
+
+LoRA (q_proj/v_proj, reference myriad.py:170-178) is built into the
+attention block behind ``config.use_lora``; LoRA params live under
+``lora_a``/``lora_b`` so the trainable partition can select them by path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from myriad_tpu.models.layers import Dtype, merge_heads, split_heads
+
+Cache = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: Optional[int] = None  # None -> MHA
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    # LoRA finetuning (reference myriad.py:170-178: r=8, alpha=16, q/v only)
+    use_lora: bool = False
+    lora_rank: int = 8
+    lora_alpha: int = 16
+    lora_dropout: float = 0.05
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def dims_per_head(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @staticmethod
+    def vicuna_7b(**overrides) -> "LlamaConfig":
+        return dataclasses.replace(LlamaConfig(), **overrides)
+
+    @staticmethod
+    def tiny(**overrides) -> "LlamaConfig":
+        base = LlamaConfig(
+            vocab_size=128,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=4,
+            max_position_embeddings=512,
+        )
+        return dataclasses.replace(base, **overrides)
+
+
+class RMSNorm(nn.Module):
+    eps: float
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig = x.dtype
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + self.eps)
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), self.param_dtype)
+        return (xf * w.astype(jnp.float32)).astype(orig)
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for HF-convention rotary embeddings.
+
+    positions: (B, T) int32 -> (B, T, head_dim) fp32 each; the half-split
+    frequencies are repeated to fill head_dim like HF's rotate_half layout.
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, T, H, D); cos/sin: (B, T, D)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return x * cos + rotated * sin
+
+
+class LoraDense(nn.Module):
+    """Dense + optional low-rank update: y = xW + (alpha/r) * x A B."""
+
+    features: int
+    config: LlamaConfig
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="base")(x)
+        if self.config.use_lora:
+            cfg = self.config
+            a = nn.Dense(cfg.lora_rank, use_bias=False, dtype=self.dtype,
+                         param_dtype=self.param_dtype,
+                         kernel_init=nn.initializers.he_uniform(), name="lora_a")
+            b = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                         param_dtype=self.param_dtype,
+                         kernel_init=nn.initializers.zeros, name="lora_b")
+            h = x
+            if cfg.lora_dropout > 0 and not deterministic:
+                h = nn.Dropout(cfg.lora_dropout)(h, deterministic=False)
+            y = y + b(a(h)) * (cfg.lora_alpha / cfg.lora_rank)
+        return y
+
+
+class LlamaAttention(nn.Module):
+    config: LlamaConfig
+    dtype: Dtype
+    param_dtype: Dtype
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jnp.ndarray,
+        positions: jnp.ndarray,
+        mask: Optional[jnp.ndarray],
+        cache: Optional[Cache] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[Cache]]:
+        cfg = self.config
+        b, t, _ = hidden.shape
+        h, hk, d = cfg.num_heads, cfg.kv_heads, cfg.dims_per_head
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        q = LoraDense(h * d, cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="q_proj")(hidden, deterministic)
+        k = dense(hk * d, "k_proj")(hidden)
+        v = LoraDense(hk * d, cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="v_proj")(hidden, deterministic)
+
+        q = q.reshape(b, t, h, d)
+        k = k.reshape(b, t, hk, d)
+        v = v.reshape(b, t, hk, d)
+
+        cos, sin = rope_cos_sin(positions, d, cfg.rope_theta)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if cache is not None:
+            # preallocated (B, Tmax, Hk, D) buffers; write at cache["index"]
+            idx = cache["index"]
+            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0))
+            new_cache = {"k": ck, "v": cv, "index": idx + t}
+            k_all, v_all = ck, cv
+        else:
+            k_all, v_all = k, v
+
+        if hk != h:
+            rep = h // hk
+            k_all = jnp.repeat(k_all, rep, axis=2)
+            v_all = jnp.repeat(v_all, rep, axis=2)
+
+        from myriad_tpu.ops.attention import mha
+
+        out = mha(
+            q.transpose(0, 2, 1, 3),
+            k_all.transpose(0, 2, 1, 3).astype(q.dtype),
+            v_all.transpose(0, 2, 1, 3).astype(q.dtype),
+            mask=mask,
+            scale=d**-0.5,
+        )
+        out = merge_heads(out)
+        out = dense(cfg.hidden_size, "o_proj")(out)
+        return out, new_cache
+
+
+class LlamaMlp(nn.Module):
+    config: LlamaConfig
+    dtype: Dtype
+    param_dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        gate = dense(cfg.intermediate_size, "gate_proj")(x)
+        up = dense(cfg.intermediate_size, "up_proj")(x)
+        return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
+
+
+class LlamaLayer(nn.Module):
+    config: LlamaConfig
+    dtype: Dtype
+    param_dtype: Dtype
+
+    @nn.compact
+    def __call__(self, hidden, positions, mask, cache=None, deterministic=True):
+        cfg = self.config
+        h, new_cache = LlamaAttention(cfg, self.dtype, self.param_dtype, name="self_attn")(
+            RMSNorm(cfg.rms_norm_eps, self.param_dtype, name="input_layernorm")(hidden),
+            positions, mask, cache, deterministic,
+        )
+        hidden = hidden + h
+        h = LlamaMlp(cfg, self.dtype, self.param_dtype, name="mlp")(
+            RMSNorm(cfg.rms_norm_eps, self.param_dtype, name="post_attention_layernorm")(hidden)
+        )
+        return hidden + h, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder stack over ``inputs_embeds`` (multimodal-prefix friendly)."""
+
+    config: LlamaConfig
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="embed_tokens",
+        )
+        self.layers = [
+            LlamaLayer(cfg, self.dtype, self.param_dtype, name=f"layers_{i}")
+            for i in range(cfg.num_layers)
+        ]
+        self.norm = RMSNorm(cfg.rms_norm_eps, self.param_dtype, name="norm")
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(input_ids)
+
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
+        cache: Optional[Tuple[Cache, ...]] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[Tuple[Cache, ...]]]:
+        """attention_mask: (B, T_kv) 1/0 over key positions (incl. cache).
+
+        Returns final hidden states (B, T, D) and updated caches.
+        """
+        b, t, _ = inputs_embeds.shape
+        if cache is not None:
+            kv_len = cache[0]["k"].shape[1]
+            start = cache[0]["index"]
+        else:
+            kv_len = t
+            start = 0
+
+        if positions is None:
+            positions = start + jnp.arange(t, dtype=jnp.int32)[None, :]
+            positions = jnp.broadcast_to(positions, (b, t))
+
+        # additive mask (B, 1, T, T_kv): causal w.r.t. absolute positions,
+        # combined with the key padding mask.
+        q_pos = start + jnp.arange(t, dtype=jnp.int32)
+        k_pos = jnp.arange(kv_len, dtype=jnp.int32)
+        causal = k_pos[None, :] <= q_pos[:, None]  # (T, T_kv)
+        allowed = jnp.broadcast_to(causal[None, None], (b, 1, t, kv_len))
+        if attention_mask is not None:
+            key_ok = attention_mask[:, None, None, :].astype(bool)
+            allowed = jnp.logical_and(allowed, key_ok)
+        if cache is not None:
+            # positions beyond the write index are invalid
+            valid = k_pos[None, None, None, :] < (start + t)
+            allowed = jnp.logical_and(allowed, valid)
+        mask = jnp.where(allowed, 0.0, -1e9).astype(jnp.float32)
+
+        hidden = inputs_embeds.astype(self.dtype)
+        new_caches = [] if cache is not None else None
+        for i, layer in enumerate(self.layers):
+            layer_cache = cache[i] if cache is not None else None
+            hidden, nc = layer(hidden, positions, mask, layer_cache, deterministic)
+            if new_caches is not None:
+                new_caches.append(nc)
+        hidden = self.norm(hidden)
+        return hidden, (tuple(new_caches) if new_caches is not None else None)
+
+
+class LlamaForCausalLM(nn.Module):
+    config: LlamaConfig
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.model = LlamaModel(self.config, self.dtype, self.param_dtype, name="model")
+        self.lm_head = self.param(
+            "lm_head",
+            nn.initializers.normal(0.02),
+            (self.config.hidden_size, self.config.vocab_size),
+            self.param_dtype,
+        )
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.model.embed(input_ids)
+
+    def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        # fp32 accumulation at the sampling point (greedy bit-parity island)
+        return jnp.dot(
+            hidden, self.lm_head.astype(hidden.dtype), preferred_element_type=jnp.float32
+        )
+
+    def __call__(
+        self,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
+        cache: Optional[Tuple[Cache, ...]] = None,
+        deterministic: bool = True,
+        input_ids: Optional[jnp.ndarray] = None,
+    ):
+        if inputs_embeds is None:
+            inputs_embeds = self.embed(input_ids)
+        hidden, new_cache = self.model(
+            inputs_embeds, attention_mask, positions, cache, deterministic
+        )
+        return self.logits(hidden), new_cache
+
+    def init_params(self, rng):
+        """Initialize the complete parameter tree (embeddings included)."""
+        ids = jnp.zeros((1, 4), jnp.int32)
+        return self.init(rng, input_ids=ids)
+
+
+def init_cache(config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> Tuple[Cache, ...]:
+    """Preallocated per-layer KV buffers (B, Tmax, Hk, D)."""
+    shape = (batch, max_len, config.kv_heads, config.dims_per_head)
+    return tuple(
+        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype), "index": jnp.int32(0)}
+        for _ in range(config.num_layers)
+    )
+
+
+def lm_cross_entropy(
+    logits: jnp.ndarray, targets: jnp.ndarray, ignore_index: int = -100
+) -> jnp.ndarray:
+    """Shifted LM loss with -100 masking, fp32 (reference clamp-CE replacement).
+
+    logits: (B, T, V); targets: (B, T) with ignore_index on masked prefix.
+    """
+    logits = logits[:, :-1].astype(jnp.float32)
+    labels = targets[:, 1:]
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)

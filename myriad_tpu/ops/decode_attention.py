@@ -1,0 +1,108 @@
+"""Pallas TPU kernel for KV-cache decode attention.
+
+The autoregressive hot loop (BASELINE.json: "Vicuna-7B decoding runs with a
+Pallas KV-cache attention kernel") computes, per (batch, head), one query
+row against the full cache:
+
+    out = softmax(q K^T * scale + mask) V
+
+Decode attention is HBM-bandwidth bound — the whole KV cache streams
+through once per token — so the kernel keeps the (T, D) K/V tiles resident
+in VMEM per grid step, computes the fp32 softmax on the VPU, and writes a
+single (1, D) row, avoiding the (B,H,1,T) logits round-trip to HBM that the
+naive XLA path materializes between ops when fusion fails.
+
+Falls back to interpret mode off-TPU so tests exercise the same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _decode_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
+    # block shapes: q (1,1,1,D), k/v (1,1,T,D), m (1,1,1,T), o (1,1,1,D)
+    q = q_ref[0, 0].astype(jnp.float32)  # (1, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (T, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (1, T)
+    s = s * scale + m_ref[0, 0].astype(jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, D)
+    o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _decode_attention_padded(q, k, v, mask, scale: float, interpret: bool):
+    b, h, _, d = q.shape
+    t = k.shape[2]
+    grid = (b, h)
+    kernel = functools.partial(_decode_kernel, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, t), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), v.dtype),
+        interpret=interpret,
+    )(q, k, v, mask)
+    return out
+
+
+def decode_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """q: (B, H, 1, D); k/v: (B, H, T, D); additive mask -> (B, H, 1, D)."""
+    b, h, tq, d = q.shape
+    assert tq == 1, "decode kernel handles a single query step"
+    t = k.shape[2]
+    scale = scale if scale is not None else d**-0.5
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    t_pad = _round_up(t, 128)
+    d_pad = _round_up(d, 128)
+    if mask is None:
+        mask = jnp.zeros((b, 1, 1, t), jnp.float32)
+    mask = jnp.broadcast_to(mask.astype(jnp.float32), (b, h, 1, t))
+    if t_pad != t:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        mask = jnp.pad(mask, [(0, 0), (0, 0), (0, 0), (0, t_pad - t)],
+                       constant_values=-1e9)
+    if d_pad != d:
+        padd = [(0, 0), (0, 0), (0, 0), (0, d_pad - d)]
+        q = jnp.pad(q, padd)
+        k = jnp.pad(k, padd)
+        v = jnp.pad(v, padd)
+
+    out = _decode_attention_padded(q, k, v, mask, float(scale), bool(interpret))
+    return out[..., :d]

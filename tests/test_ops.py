@@ -1,0 +1,39 @@
+"""Pallas kernel tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myriad_tpu.ops.attention import _xla_mha, mha
+from myriad_tpu.ops.decode_attention import decode_attention
+
+
+def test_decode_attention_matches_xla(rng):
+    b, h, t, d = 2, 4, 200, 64  # t, d deliberately unaligned (padding path)
+    q = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    mask = jnp.where(
+        jnp.arange(t)[None, None, None, :] < 150, 0.0, -1e9
+    ).astype(jnp.float32) * jnp.ones((b, 1, 1, t))
+    ref = _xla_mha(q, k, v, mask, d**-0.5)
+    out = decode_attention(q, k, v, mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_decode_attention_no_mask(rng):
+    b, h, t, d = 1, 2, 128, 128
+    q = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    ref = _xla_mha(q, k, v, None, d**-0.5)
+    out = decode_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_mha_dispatch_cpu_uses_xla(rng):
+    # on CPU the dispatcher must not try to compile the TPU kernel
+    q = jnp.asarray(rng.normal(size=(1, 2, 4, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 4, 16)), jnp.float32)
+    out = mha(q, k, k)
+    assert out.shape == (1, 2, 4, 16)
