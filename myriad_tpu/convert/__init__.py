@@ -10,9 +10,15 @@ flax parameter pytree (dense kernels transposed, conv OIHW -> HWIO).
 from myriad_tpu.convert.llama import convert_llama_state_dict
 from myriad_tpu.convert.eva import convert_eva_vit_state_dict
 from myriad_tpu.convert.qformer import convert_qformer_state_dict
+from myriad_tpu.convert.imagebind import (
+    convert_anomaly_decoder_state_dict,
+    convert_imagebind_state_dict,
+)
 
 __all__ = [
     "convert_llama_state_dict",
     "convert_eva_vit_state_dict",
     "convert_qformer_state_dict",
+    "convert_imagebind_state_dict",
+    "convert_anomaly_decoder_state_dict",
 ]

@@ -1,0 +1,307 @@
+"""Vision expert: frozen ImageBind + AnomalyGPT decoder anomaly maps.
+
+Rebuild of the reference ``adrefexpert`` (minigpt4/models/adrefexpert_v2.py:102-301)
+with its two map types:
+
+* **zero-shot** (:279-301): per tapped layer, decoded patch tokens are
+  L2-normalized and scored against a 2-state (normal/abnormal) text prompt
+  ensemble; the (16,16,2) logit map is bilinearly upsampled
+  (align_corners=True) to 224 and softmaxed; maps average over the 4 taps.
+* **one-shot** (:245-278): raw patch tokens of the query are cosine-matched
+  against a bank of reference-normal patch tokens; anomaly = 1 - max sim.
+
+TPU-first deltas vs the reference:
+
+* text prompt-ensemble features are computed **once per class set** and
+  cached on device (the reference re-encodes text every forward, :282, and
+  reads reference images from disk inside forward, :209-217 — both hoisted
+  here, SURVEY.md §7.3 risk 3).
+* align_corners bilinear upsample is expressed as two small matmuls
+  (W_h @ x @ W_w^T) instead of a gather — MXU-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from myriad_tpu.models.imagebind import (
+    ImageBindConfig,
+    ImageBindText,
+    ImageBindVision,
+    LinearLayerDecoder,
+)
+from myriad_tpu.models.layers import Dtype
+
+# ---------------------------------------------------------------------------
+# Prompt-ensemble constants (reference adrefexpert_v2.py:31-56)
+# ---------------------------------------------------------------------------
+PROMPT_NORMAL = [
+    "{}", "flawless {}", "perfect {}", "unblemished {}",
+    "{} without flaw", "{} without defect", "{} without damage",
+]
+PROMPT_ABNORMAL = [
+    "damaged {}", "broken {}", "{} with flaw", "{} with defect", "{} with damage",
+]
+PROMPT_TEMPLATES = ["a photo of a {}.", "a photo of the {}."]
+
+MVTEC_CLASS_NAMES = [
+    "bottle", "cable", "capsule", "carpet", "grid", "hazelnut", "leather",
+    "metal_nut", "pill", "screw", "tile", "toothbrush", "transistor", "wood",
+    "zipper",
+]
+VISA_CLASS_NAMES = [
+    "candle", "capsules", "cashew", "chewinggum", "fryum", "macaroni1",
+    "macaroni2", "pcb1", "pcb2", "pcb3", "pcb4", "pipe_fryum",
+]
+
+
+def prompt_sentences_for(obj: str) -> Tuple[List[str], List[str]]:
+    obj = obj.replace("_", " ")
+    normal = [t.format(s.format(obj)) for s in PROMPT_NORMAL for t in PROMPT_TEMPLATES]
+    abnormal = [t.format(s.format(obj)) for s in PROMPT_ABNORMAL for t in PROMPT_TEMPLATES]
+    return normal, abnormal
+
+
+# ---------------------------------------------------------------------------
+# align_corners bilinear upsample as matmuls
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=8)
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """W (n_out, n_in) with W @ x == 1D bilinear align_corners=True resize."""
+    if n_in == 1:
+        return np.ones((n_out, 1), np.float32)
+    pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (pos - lo).astype(np.float32)
+    w = np.zeros((n_out, n_in), np.float32)
+    w[np.arange(n_out), lo] += 1.0 - frac
+    w[np.arange(n_out), hi] += frac
+    return w
+
+
+def upsample_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """x: (..., H, W) -> (..., H', W') bilinear align_corners=True."""
+    h_in, w_in = x.shape[-2:]
+    wh = jnp.asarray(_resize_matrix(h_in, out_hw[0]))
+    ww = jnp.asarray(_resize_matrix(w_in, out_hw[1]))
+    y = jnp.einsum("oh,...hw->...ow", wh, x.astype(jnp.float32))
+    return jnp.einsum("pw,...ow->...op", ww, y)
+
+
+# ---------------------------------------------------------------------------
+# flax module: the jittable compute
+# ---------------------------------------------------------------------------
+class AnomalyExpertModule(nn.Module):
+    """Frozen ImageBind vision + LinearLayer decoder producing anomaly maps."""
+
+    config: ImageBindConfig
+    map_size: int = 224
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.visual = ImageBindVision(self.config, self.dtype, self.param_dtype,
+                                      name="visual")
+        self.text = ImageBindText(self.config, self.dtype, self.param_dtype,
+                                  name="text")
+        self.image_decoder = LinearLayerDecoder(
+            num_taps=len(self.config.out_layers), out_dim=self.config.out_embed_dim,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="image_decoder",
+        )
+
+    def encode_text(self, token_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.text(token_ids)
+
+    def patch_tokens(self, images: jnp.ndarray) -> List[jnp.ndarray]:
+        """Raw trunk taps without cls: list of (B, P, vision_dim)."""
+        _, taps = self.visual(images)
+        return [t[:, 1:, :] for t in taps]
+
+    def decoded_patch_tokens(self, images: jnp.ndarray) -> List[jnp.ndarray]:
+        _, taps = self.visual(images)
+        return self.image_decoder(taps)
+
+    def zero_shot(
+        self, images: jnp.ndarray, text_feats: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """images (B,H,W,3); text_feats (B, 2, out_dim) L2-normalized.
+
+        Returns (maps (B,224,224,1), masks (B,16,16,1)) in [0,1]
+        (adrefexpert_v2.py:279-301: softmax-after-upsample for maps,
+        softmax-at-16x16 for masks, mean over taps).
+        """
+        tokens = self.decoded_patch_tokens(images)
+        grid = int(np.sqrt(tokens[0].shape[1]))
+        maps, masks = [], []
+        for tok in tokens:
+            tok = tok.astype(jnp.float32)
+            tok = tok / jnp.linalg.norm(tok, axis=-1, keepdims=True)
+            sim = 100.0 * jnp.einsum("bpd,bcd->bpc", tok, text_feats.astype(jnp.float32))
+            logit_map = sim.reshape(-1, grid, grid, 2)
+            masks.append(jax.nn.softmax(logit_map, axis=-1)[..., 1:])
+            up = upsample_align_corners(
+                logit_map.transpose(0, 3, 1, 2), (self.map_size, self.map_size)
+            )  # (B,2,224,224)
+            maps.append(jax.nn.softmax(up, axis=1)[:, 1][..., None])
+        return (
+            jnp.mean(jnp.stack(maps), axis=0),
+            jnp.mean(jnp.stack(masks), axis=0),
+        )
+
+    def one_shot(
+        self, images: jnp.ndarray, ref_tokens: Sequence[jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """images (B,H,W,3); ref_tokens: per-tap (B, R, vision_dim) reference
+        patch banks (already gathered per sample's class).
+
+        Returns (maps (B,224,224,1), masks (B,16,16,1)) = 1 - max cosine sim
+        (adrefexpert_v2.py:264-278).
+        """
+        q_tokens = self.patch_tokens(images)
+        grid = int(np.sqrt(q_tokens[0].shape[1]))
+        sims = []
+        for q, r in zip(q_tokens, ref_tokens):
+            q = q.astype(jnp.float32)
+            r = r.astype(jnp.float32)
+            qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
+            rn = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True), 1e-6)
+            cos = jnp.einsum("bpd,brd->bpr", qn, rn)
+            sims.append(jnp.max(cos, axis=-1))  # (B, P)
+        sim = jnp.mean(jnp.stack(sims), axis=0).reshape(-1, grid, grid)
+        mask = 1.0 - sim[..., None]
+        up = upsample_align_corners(sim, (self.map_size, self.map_size))
+        return (1.0 - up)[..., None], mask
+
+
+# ---------------------------------------------------------------------------
+# host-side orchestration: caches + class bookkeeping
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class ReferenceSpec:
+    """Which normal images form the one-shot reference bank
+    (adrefexpert_v2.py:132-161: MVTec uses images 4*round_index.., VisA takes
+    rows from 1cls.csv)."""
+
+    round_index: int = 0
+    k_shot: int = 0
+
+    @property
+    def effective_k(self) -> int:
+        return self.k_shot if self.k_shot > 0 else 1
+
+    def mvtec_names(self) -> List[str]:
+        base = self.round_index * 4
+        return [f"{base + i:03d}.png" for i in range(4)][: self.effective_k]
+
+
+class VisionExpert:
+    """Stateful wrapper: owns frozen params + text/reference caches.
+
+    The class list is discovered from the datasets at build time; text
+    features are encoded once per class and stacked as
+    (n_classes, 2, out_dim) for per-sample gathering inside jit.
+    """
+
+    def __init__(
+        self,
+        module: AnomalyExpertModule,
+        params,
+        tokenizer=None,
+        class_names: Optional[Sequence[str]] = None,
+    ):
+        self.module = module
+        self.params = params
+        self.tokenizer = tokenizer
+        self.class_names: List[str] = list(class_names or (MVTEC_CLASS_NAMES + VISA_CLASS_NAMES))
+        self.class_index: Dict[str, int] = {c: i for i, c in enumerate(self.class_names)}
+        self._text_feats: Optional[jnp.ndarray] = None
+        self._ref_bank: Optional[List[jnp.ndarray]] = None
+        self._zero_shot_jit = jax.jit(
+            lambda p, img, tf: self.module.apply(p, img, tf, method=AnomalyExpertModule.zero_shot)
+        )
+        self._one_shot_jit = jax.jit(
+            lambda p, img, refs: self.module.apply(p, img, refs, method=AnomalyExpertModule.one_shot)
+        )
+        self._patch_tokens_jit = jax.jit(
+            lambda p, img: self.module.apply(p, img, method=AnomalyExpertModule.patch_tokens)
+        )
+
+    # -- text cache -------------------------------------------------------
+    def build_text_features(self, batch_size: int = 28) -> jnp.ndarray:
+        """Encode the prompt ensemble for every class once (hoisted from the
+        reference's per-forward text encode)."""
+        assert self.tokenizer is not None, "text features need a CLIP tokenizer"
+        feats = []
+        encode = jax.jit(
+            lambda p, ids: self.module.apply(p, ids, method=AnomalyExpertModule.encode_text)
+        )
+        for cls in self.class_names:
+            normal, abnormal = prompt_sentences_for(cls)
+            ids = jnp.asarray(
+                [self.tokenizer.encode(s, self.module.config.context_length)
+                 for s in normal + abnormal], jnp.int32,
+            )
+            emb = encode(self.params, ids)  # (24, out_dim), already normalized*scale
+            n = emb[: len(normal)].mean(axis=0)
+            a = emb[len(normal):].mean(axis=0)
+            n = n / jnp.linalg.norm(n)
+            a = a / jnp.linalg.norm(a)
+            feats.append(jnp.stack([n, a]))
+        self._text_feats = jnp.stack(feats)  # (C, 2, D)
+        return self._text_feats
+
+    # -- reference bank -----------------------------------------------------
+    def build_reference_bank(self, images_per_class: Dict[str, np.ndarray]) -> None:
+        """Precompute one-shot reference patch tokens for each class.
+
+        images_per_class: class -> (K, H, W, 3) preprocessed reference-normal
+        images.  Bank layout: per tap, (C, K*P, vision_dim).
+        """
+        per_tap: List[List[jnp.ndarray]] = [[] for _ in self.module.config.out_layers]
+        for cls in self.class_names:
+            imgs = images_per_class.get(cls)
+            if imgs is None:
+                # classes without references resolve to zero banks (cos sim 0)
+                p = (self.module.config.img_size // self.module.config.patch_size) ** 2
+                for lst in per_tap:
+                    lst.append(jnp.zeros((p, self.module.config.vision_embed_dim)))
+                continue
+            taps = self._patch_tokens_jit(self.params, jnp.asarray(imgs))
+            for lst, t in zip(per_tap, taps):
+                lst.append(t.reshape(-1, t.shape[-1]))  # (K*P, D)
+        # pad classes to a common bank length for stacking
+        max_len = max(int(t.shape[0]) for lst in per_tap for t in lst)
+        bank = []
+        for lst in per_tap:
+            padded = [
+                jnp.pad(t, ((0, max_len - t.shape[0]), (0, 0))) for t in lst
+            ]
+            bank.append(jnp.stack(padded))  # (C, max_len, D)
+        self._ref_bank = bank
+
+    # -- forward ------------------------------------------------------------
+    def scene_ids(self, scenes: Sequence[str]) -> jnp.ndarray:
+        return jnp.asarray([self.class_index[s] for s in scenes], jnp.int32)
+
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        scenes: Sequence[str],
+        one_shot: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        idx = self.scene_ids(scenes)
+        if one_shot:
+            assert self._ref_bank is not None, "call build_reference_bank first"
+            refs = [bank[idx] for bank in self._ref_bank]
+            return self._one_shot_jit(self.params, images, refs)
+        assert self._text_feats is not None, "call build_text_features first"
+        tf = self._text_feats[idx]
+        return self._zero_shot_jit(self.params, images, tf)
