@@ -1,0 +1,182 @@
+"""Checkpoint save/load: Orbax pytrees + torch .pth interop.
+
+Replaces the reference's .pth ring-buffer checkpointing
+(runner_base.py:592-672): trainable-only param trees are saved per epoch
+with ``max_checkpoints`` retention, plus optimizer state and step counters.
+Torch checkpoints (the pretrained bootstrap chain, SURVEY.md §5.4) load
+through ``load_params`` for the strict=False merge path.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# tree utilities
+# ---------------------------------------------------------------------------
+def merge_trees(base: Dict, incoming: Dict) -> Tuple[Dict, int, int]:
+    """strict=False merge: leaves present in both are taken from incoming
+    (shape-checked); unknown incoming keys are counted and skipped."""
+    loaded = 0
+    skipped = 0
+
+    def rec(b, inc):
+        nonlocal loaded, skipped
+        if not isinstance(b, dict) or not isinstance(inc, dict):
+            return inc
+        out = dict(b)
+        for k, v in inc.items():
+            if k in b:
+                if isinstance(v, dict) and isinstance(b[k], dict):
+                    out[k] = rec(b[k], v)
+                else:
+                    if tuple(np.shape(b[k])) != tuple(np.shape(v)):
+                        logging.warning("shape mismatch at %s: %s vs %s — skipped",
+                                        k, np.shape(b[k]), np.shape(v))
+                        skipped += 1
+                    else:
+                        out[k] = v
+                        loaded += 1
+            else:
+                skipped += 1
+        return out
+
+    return rec(base, incoming), loaded, skipped
+
+
+def split_by_predicate(tree: Dict, predicate) -> Tuple[Dict, Dict]:
+    """Split a nested dict into (true_tree, false_tree) by leaf-path predicate.
+
+    Functional replacement for requires_grad freezing: predicate gets
+    'a/b/c' paths; empty subtrees are dropped.
+    """
+
+    def rec(node, path):
+        if not isinstance(node, dict):
+            return (node, None) if predicate(path) else (None, node)
+        t, f = {}, {}
+        for k, v in node.items():
+            tv, fv = rec(v, f"{path}/{k}" if path else k)
+            if tv is not None:
+                t[k] = tv
+            if fv is not None:
+                f[k] = fv
+        return (t or None), (f or None)
+
+    t, f = rec(tree, "")
+    return t or {}, f or {}
+
+
+def overlay_trees(*trees: Dict) -> Dict:
+    """Recombine disjoint subtrees (inverse of split_by_predicate)."""
+    out: Dict = {}
+
+    def rec(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                rec(dst.setdefault(k, {}), v)
+            else:
+                dst[k] = v
+
+    for t in trees:
+        rec(out, t)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# load / save
+# ---------------------------------------------------------------------------
+def load_params(path: str) -> Dict:
+    """Load a param tree from an Orbax dir, .npz, or torch .pth file."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path))
+    if path.endswith(".npz"):
+        flat = dict(np.load(path, allow_pickle=False))
+        return unflatten_dict(flat)
+    if path.endswith((".pth", ".pt", ".bin")):
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(ckpt, dict) and "model" in ckpt:
+            ckpt = ckpt["model"]
+        return {k: np.asarray(v.float().numpy() if hasattr(v, "float") else v)
+                for k, v in ckpt.items()}
+    raise ValueError(f"Unsupported checkpoint format: {path}")
+
+
+def flatten_dict(tree: Dict, prefix: str = "") -> Dict[str, Any]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten_dict(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def unflatten_dict(flat: Dict[str, Any]) -> Dict:
+    out: Dict = {}
+    for key, v in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def save_params(path: str, tree: Dict) -> None:
+    """Save a param tree as .npz (portable, host-side)."""
+    flat = flatten_dict(jax.tree_util.tree_map(np.asarray, tree))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+
+
+class CheckpointManager:
+    """Epoch checkpoints with ring retention (runner_base.py:592-628)."""
+
+    def __init__(self, output_dir: str, max_checkpoints: int = -1):
+        self.output_dir = output_dir
+        self.max_checkpoints = max_checkpoints
+        self._saved: list = []
+        os.makedirs(output_dir, exist_ok=True)
+
+    def _path(self, tag) -> str:
+        return os.path.join(self.output_dir, f"checkpoint_{tag}")
+
+    def save(self, tag, state: Dict) -> str:
+        """state: json-able scalars + param/opt trees. Saved as orbax dir."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(self._path(tag))
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state)
+        ckptr.wait_until_finished()
+        if isinstance(tag, int) or (isinstance(tag, str) and tag.isdigit()):
+            self._saved.append(path)
+            if self.max_checkpoints > 0 and len(self._saved) > self.max_checkpoints:
+                victim = self._saved.pop(0)
+                shutil.rmtree(victim, ignore_errors=True)
+        return path
+
+    def restore(self, tag) -> Optional[Dict]:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(self._path(tag))
+        if not os.path.exists(path):
+            return None
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(path)

@@ -1,0 +1,526 @@
+"""Myriad — the composed IAD vision-language model.
+
+Rebuild of the reference model (minigpt4/models/myriad.py:62-517):
+
+    EVA-ViT-g (frozen) -> LoraAdaptorV2 -> ln_vision -> Q-Former (frozen,
+    32 queries [+49 VEInstructor tokens]) -> llama_proj (frozen)
+    [+18 VETokenizer tokens] -> Vicuna-7B (frozen or LoRA)
+
+with the ImageBind vision expert producing the anomaly maps that feed the
+VE adaptors (models/vision_expert.py).
+
+TPU-first structure: ``MyriadModule`` is a pure flax module whose methods
+(`encode_img`, `forward_train`, `prefill_embeds`) are the jit units; the
+``Myriad`` wrapper owns the param pytrees (split trainable/frozen by path —
+the functional replacement for requires_grad freezing), the host-side
+tokenization cache (the reference tokenizes per sample inside forward,
+myriad.py:354-375 — here prompt pieces are pre-tokenized once per template)
+and the vision-expert caches.
+
+Stage semantics (myriad.py:241-272,377-431): prompt stage s in {0,1,2}
+controls where expert tokens are injected — s in {1,2}: +49 instructor
+tokens into the Q-Former; s in {0,1}: +18 tokenizer tokens at LLM level.
+Task stage t in {0,1} picks zero-shot vs one-shot anomaly maps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from myriad_tpu import checkpoint as ckpt_lib
+from myriad_tpu.common.registry import registry
+from myriad_tpu.generation import GenerationConfig, greedy_generate
+from myriad_tpu.models.base import BaseModel
+from myriad_tpu.models.eva_vit import EvaViT
+from myriad_tpu.models.imagebind import ImageBindConfig
+from myriad_tpu.models.layers import Dtype, LayerNormFp32, Policy
+from myriad_tpu.models.llama import LlamaConfig, LlamaForCausalLM, lm_cross_entropy
+from myriad_tpu.models.networks import LoraAdaptorV2, VEInstructorV2, VETokenizer
+from myriad_tpu.models.qformer import QFormer
+from myriad_tpu.models.vision_expert import AnomalyExpertModule, VisionExpert
+from myriad_tpu.tokenization import load_llama_tokenizer
+
+
+@dataclasses.dataclass(frozen=True)
+class MyriadArch:
+    """Architecture dims for the composed model."""
+
+    img_size: int = 224
+    vit_patch: int = 14
+    vit_dim: int = 1408
+    vit_depth: int = 39
+    vit_heads: int = 16
+    vit_mlp_ratio: float = 4.3637
+    num_query_token: int = 32
+    qformer_hidden: int = 768
+    qformer_layers: int = 12
+    qformer_heads: int = 12
+    qformer_intermediate: int = 3072
+    adaptor_rank: int = 4
+    ve_instructor_version: int = 0
+    map_size: int = 224
+    llama: LlamaConfig = dataclasses.field(default_factory=LlamaConfig)
+    imagebind: ImageBindConfig = dataclasses.field(default_factory=ImageBindConfig)
+
+    @staticmethod
+    def full(**overrides) -> "MyriadArch":
+        return dataclasses.replace(MyriadArch(), **overrides)
+
+    @staticmethod
+    def tiny(**overrides) -> "MyriadArch":
+        base = MyriadArch(
+            img_size=28,
+            vit_patch=14,
+            vit_dim=32,
+            vit_depth=2,
+            vit_heads=4,
+            vit_mlp_ratio=4.0,
+            num_query_token=8,
+            qformer_hidden=16,
+            qformer_layers=2,
+            qformer_heads=2,
+            qformer_intermediate=32,
+            adaptor_rank=2,
+            map_size=224,
+            llama=LlamaConfig.tiny(),
+            imagebind=ImageBindConfig.tiny(img_size=28),
+        )
+        return dataclasses.replace(base, **overrides)
+
+
+class MyriadModule(nn.Module):
+    """The jittable compute graph (no host state)."""
+
+    arch: MyriadArch
+    use_grad_checkpoint: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        a = self.arch
+        self.visual_encoder = EvaViT(
+            img_size=a.img_size, patch_size=a.vit_patch, embed_dim=a.vit_dim,
+            depth=a.vit_depth, num_heads=a.vit_heads, mlp_ratio=a.vit_mlp_ratio,
+            use_checkpoint=self.use_grad_checkpoint,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="visual_encoder",
+        )
+        self.expert_adaptor = LoraAdaptorV2(
+            dims=a.vit_dim, input_dim=a.adaptor_rank,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="expert_adaptor",
+        )
+        # torch nn.LayerNorm default eps (blip2.py:119-125)
+        self.ln_vision = LayerNormFp32(epsilon=1e-5, param_dtype=self.param_dtype,
+                                       name="ln_vision")
+        self.qformer = QFormer(
+            hidden_size=a.qformer_hidden, num_layers=a.qformer_layers,
+            num_heads=a.qformer_heads, intermediate_size=a.qformer_intermediate,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="qformer",
+        )
+        self.query_tokens = self.param(
+            "query_tokens", nn.initializers.normal(0.02),
+            (1, a.num_query_token, a.qformer_hidden), self.param_dtype,
+        )
+        self.ve_instructor = VEInstructorV2(
+            version=a.ve_instructor_version, out_dim=a.qformer_hidden,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="ve_instructor",
+        )
+        self.ve_tokenizer = VETokenizer(
+            llm_dim=a.llama.hidden_size, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="ve_tokenizer",
+        )
+        self.llama_proj = nn.Dense(
+            a.llama.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="llama_proj",
+        )
+        self.llama = LlamaForCausalLM(a.llama, self.dtype, self.param_dtype, name="llama")
+
+    # -- vision fusion (myriad.py:241-272) ----------------------------------
+    def encode_img(self, image: jnp.ndarray, maps: jnp.ndarray, stage: int) -> jnp.ndarray:
+        b = image.shape[0]
+        feats = self.visual_encoder(image)
+        feats = self.expert_adaptor(feats)
+        feats = self.ln_vision(feats)
+        q = jnp.broadcast_to(
+            self.query_tokens.astype(feats.dtype),
+            (b, self.arch.num_query_token, self.arch.qformer_hidden),
+        )
+        if stage in (1, 2):
+            q = jnp.concatenate([q, self.ve_instructor(maps)], axis=1)
+        q_out = self.qformer(q, feats)
+        inputs_llama = self.llama_proj(q_out)
+        if stage in (0, 1):
+            inputs_llama = jnp.concatenate([inputs_llama, self.ve_tokenizer(maps)], axis=1)
+        return inputs_llama
+
+    def embed_tokens(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return self.llama.embed(ids)
+
+    # -- prefix assembly -----------------------------------------------------
+    def prefill_embeds(
+        self,
+        image: jnp.ndarray,
+        maps: jnp.ndarray,
+        before_ids: jnp.ndarray,  # (Lb,) prompt piece before <ImageHere>
+        after_ids: jnp.ndarray,  # (La,) piece after
+        stage: int,
+        bos_id: int = 1,
+    ) -> jnp.ndarray:
+        """[bos][before][img tokens][after] embeddings (prompt_wrap,
+        myriad.py:354-375 + bos handling :414-420)."""
+        b = image.shape[0]
+        img = self.encode_img(image, maps, stage)
+        bos = self.embed_tokens(jnp.full((b, 1), bos_id, jnp.int32))
+        before = self.embed_tokens(jnp.broadcast_to(before_ids[None], (b, before_ids.shape[0])))
+        after = self.embed_tokens(jnp.broadcast_to(after_ids[None], (b, after_ids.shape[0])))
+        return jnp.concatenate([bos, before, img.astype(bos.dtype), after], axis=1)
+
+    # -- training forward (myriad.py:377-431) --------------------------------
+    def forward_train(
+        self,
+        image: jnp.ndarray,
+        maps: jnp.ndarray,
+        before_ids: jnp.ndarray,
+        after_ids: jnp.ndarray,
+        text_ids: jnp.ndarray,  # (B, L) right-padded with pad_id
+        text_mask: jnp.ndarray,  # (B, L) 1/0
+        stage: int,
+        bos_id: int = 1,
+    ) -> jnp.ndarray:
+        prefix = self.prefill_embeds(image, maps, before_ids, after_ids, stage, bos_id)
+        b, p, _ = prefix.shape
+        text_embeds = self.embed_tokens(text_ids)
+        inputs_embeds = jnp.concatenate([prefix, text_embeds.astype(prefix.dtype)], axis=1)
+        attention_mask = jnp.concatenate(
+            [jnp.ones((b, p), jnp.int32), text_mask.astype(jnp.int32)], axis=1
+        )
+        targets = jnp.concatenate(
+            [
+                jnp.full((b, p), -100, jnp.int32),
+                jnp.where(text_mask.astype(bool), text_ids, -100).astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        logits, _ = self.llama(inputs_embeds, attention_mask)
+        return lm_cross_entropy(logits, targets)
+
+
+@registry.register_model("myriad")
+class Myriad(BaseModel):
+    """Host-side model wrapper: params, tokenizers, caches, config plumbing."""
+
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "pretrain_vicuna": "configs/models/minigpt4.yaml",
+    }
+    default_model_type = "pretrain_vicuna"
+
+    def __init__(
+        self,
+        arch: Optional[MyriadArch] = None,
+        *,
+        freeze_vit: bool = True,
+        freeze_qformer: bool = True,
+        freeze_llama: bool = True,
+        use_lora: bool = False,
+        use_grad_checkpoint: bool = False,
+        use_ve: bool = True,
+        round_index: int = 0,
+        k_shot: int = 0,
+        llama_model: str = "",
+        prompt_path: str = "",
+        prompt_template: str = "",
+        max_txt_len: int = 32,
+        end_sym: str = "\n",
+        policy: Optional[Policy] = None,
+        seed: int = 0,
+        init_vision_expert: bool = True,
+    ):
+        self.arch = arch or MyriadArch.full()
+        if use_lora:
+            self.arch = dataclasses.replace(
+                self.arch, llama=dataclasses.replace(self.arch.llama, use_lora=True)
+            )
+        self.freeze_vit = freeze_vit
+        self.freeze_qformer = freeze_qformer
+        self.freeze_llama = freeze_llama
+        self.use_lora = use_lora
+        self.use_ve = use_ve
+        self.round_index = round_index
+        self.k_shot = k_shot
+        self.max_txt_len = max_txt_len
+        self.end_sym = end_sym
+        policy = policy or Policy.bf16()
+        self.policy = policy
+
+        self.module = MyriadModule(
+            self.arch, use_grad_checkpoint=use_grad_checkpoint,
+            dtype=policy.compute_dtype, param_dtype=policy.param_dtype,
+        )
+        params = self._init_params(jax.random.PRNGKey(seed))
+        self.trainable, self.frozen = ckpt_lib.split_by_predicate(
+            params, self._trainable_predicate()
+        )
+        logging.info("Myriad params: %s (trainable %s)",
+                     self.show_n_params(), self.count_params(self.trainable))
+
+        self.llama_tokenizer = load_llama_tokenizer(llama_model)
+
+        self.vision_expert: Optional[VisionExpert] = None
+        if use_ve and init_vision_expert:
+            ve_module = AnomalyExpertModule(
+                self.arch.imagebind, map_size=self.arch.map_size,
+                dtype=policy.compute_dtype, param_dtype=policy.param_dtype,
+            )
+            ve_params = self._init_ve_params(ve_module, jax.random.PRNGKey(seed + 1))
+            from myriad_tpu.models.clip_tokenizer import HashTokenizer
+
+            self.vision_expert = VisionExpert(
+                ve_module, ve_params, tokenizer=HashTokenizer(self.arch.imagebind.vocab_size)
+            )
+
+        # prompt list (myriad.py:224-233)
+        self.prompt_list: List[str] = []
+        if prompt_path:
+            with open(prompt_path) as f:
+                raw = f.read().splitlines()
+            self.prompt_list = [
+                prompt_template.format(p) for p in raw if "<ImageHere>" in p
+            ]
+            logging.info("Loaded %d training prompts", len(self.prompt_list))
+
+        self._prompt_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        self._jit_cache: Dict = {}
+
+    # -- init -----------------------------------------------------------------
+    def _init_params(self, rng) -> Dict:
+        a = self.arch
+        img = jnp.zeros((1, a.img_size, a.img_size, 3), jnp.float32)
+        maps = jnp.zeros((1, a.map_size, a.map_size, 1), jnp.float32)
+        ids = jnp.zeros((2,), jnp.int32)
+        text = jnp.zeros((1, 2), jnp.int32)
+        mask = jnp.ones((1, 2), jnp.int32)
+        variables = self.module.init(
+            rng, img, maps, ids, ids, text, mask, 1,
+            method=MyriadModule.forward_train,
+        )
+        return variables["params"]
+
+    def _init_ve_params(self, ve_module, rng) -> Dict:
+        cfg = self.arch.imagebind
+        imgs = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        ids = jnp.zeros((1, cfg.context_length), jnp.int32)
+        pz = ve_module.init(rng, imgs, jnp.zeros((1, 2, cfg.out_embed_dim)),
+                            method=AnomalyExpertModule.zero_shot)
+        pt = ve_module.init(rng, ids, method=AnomalyExpertModule.encode_text)
+        return {"params": {**pz["params"], **pt["params"]}}
+
+    def _trainable_predicate(self):
+        """Path-based requires_grad (myriad.py:117-233 freeze logic)."""
+
+        def pred(path: str) -> bool:
+            if path.startswith(("expert_adaptor", "ve_instructor", "ve_tokenizer")):
+                return True
+            if self.use_lora and re.search(r"lora_[ab]", path):
+                return True
+            if not self.freeze_qformer and (
+                path.startswith("qformer") or path == "query_tokens"
+            ):
+                return True
+            if not self.freeze_vit and path.startswith("visual_encoder"):
+                return True
+            if (
+                not self.freeze_llama
+                and not self.use_lora
+                and path.startswith("llama")
+                and not path.startswith("llama_proj")
+            ):
+                return True
+            return False
+
+        return pred
+
+    @property
+    def params(self) -> Dict:
+        return ckpt_lib.overlay_trees(self.frozen, self.trainable)
+
+    # -- host-side text plumbing -------------------------------------------
+    def split_prompt(self, question: str) -> Tuple[np.ndarray, np.ndarray]:
+        """'###Human: '+q+' ###Assistant: ' split at <ImageHere>, tokenized
+        once per distinct string (replaces per-sample tokenize loops)."""
+        prompt = "###Human: " + question + " ###Assistant: "
+        if prompt not in self._prompt_cache:
+            before, after = prompt.split("<ImageHere>")
+            b_ids = self.llama_tokenizer(before, add_special_tokens=False)["input_ids"]
+            a_ids = self.llama_tokenizer(after, add_special_tokens=False)["input_ids"]
+            b_ids = b_ids[0] if b_ids and isinstance(b_ids[0], list) else b_ids
+            a_ids = a_ids[0] if a_ids and isinstance(a_ids[0], list) else a_ids
+            self._prompt_cache[prompt] = (
+                np.asarray(b_ids, np.int32),
+                np.asarray(a_ids, np.int32),
+            )
+        return self._prompt_cache[prompt]
+
+    def tokenize_targets(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Right-padded target ids + mask (myriad.py:395-407)."""
+        rows = []
+        for t in texts:
+            ids = self.llama_tokenizer(t + self.end_sym, add_special_tokens=False)[
+                "input_ids"
+            ]
+            ids = ids[0] if ids and isinstance(ids[0], list) else ids
+            rows.append(list(ids)[: self.max_txt_len])
+        ln = self.max_txt_len
+        out = np.zeros((len(rows), ln), np.int32)
+        mask = np.zeros((len(rows), ln), np.int32)
+        for i, ids in enumerate(rows):
+            out[i, : len(ids)] = ids
+            mask[i, : len(ids)] = 1
+        return out, mask
+
+    # -- sample prep (myriad.py:313-352) -------------------------------------
+    def prepare_sample(self, samples: Dict, stage: int, training: bool = True):
+        image = np.asarray(samples["image"], np.float32)
+        if training and "aug_image" in samples:
+            image = np.concatenate([image, np.asarray(samples["aug_image"], np.float32)])
+        q_key = {0: "question", 1: "question2", 2: "question3"}[stage]
+        questions = samples.get(q_key) or samples.get("question")
+        question = questions[0] if isinstance(questions, (list, tuple)) else questions
+
+        texts = None
+        if training and "text_input" in samples:
+            texts = list(samples["text_input"])
+            if "aug_text_input" in samples:
+                texts = texts + list(samples["aug_text_input"])
+
+        scenes = list(samples["scene"])
+        if training and "aug_image" in samples:
+            scenes = scenes + scenes
+
+        if self.vision_expert is not None:
+            img_dev = jnp.asarray(image)
+            maps, _ = self.vision_expert(img_dev, scenes)
+            one_maps, _ = self.vision_expert(img_dev, scenes, one_shot=True)
+        else:
+            shape = (image.shape[0], self.arch.map_size, self.arch.map_size, 1)
+            maps = jnp.zeros(shape, jnp.float32)
+            one_maps = jnp.zeros(shape, jnp.float32)
+        return image, question, texts, maps, one_maps
+
+    # -- public API -----------------------------------------------------------
+    def forward(self, samples: Dict, rng: Optional[np.random.Generator] = None) -> Dict:
+        """One training loss computation with random stage/task
+        (myriad.py:377-431)."""
+        rng = rng or np.random.default_rng()
+        stage = int(rng.integers(0, 3))
+        task = int(rng.integers(0, 2))
+        image, question, texts, maps, one_maps = self.prepare_sample(samples, stage)
+        use_maps = one_maps if task == 1 else maps
+        before, after = self.split_prompt(question)
+        text_ids, text_mask = self.tokenize_targets(texts)
+        loss = self.loss_apply(
+            self.trainable, self.frozen, jnp.asarray(image), use_maps,
+            jnp.asarray(before), jnp.asarray(after),
+            jnp.asarray(text_ids), jnp.asarray(text_mask), stage,
+        )
+        return {"loss": loss}
+
+    def loss_apply(self, trainable, frozen, image, maps, before, after,
+                   text_ids, text_mask, stage: int):
+        key = ("loss", stage, image.shape, before.shape, after.shape, text_ids.shape)
+        if key not in self._jit_cache:
+            module = self.module
+
+            @jax.jit
+            def fn(trainable, frozen, image, maps, before, after, text_ids, text_mask):
+                params = ckpt_lib.overlay_trees(frozen, trainable)
+                return module.apply(
+                    {"params": params}, image, maps, before, after,
+                    text_ids, text_mask, stage, method=MyriadModule.forward_train,
+                )
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](
+            trainable, frozen, image, maps, before, after, text_ids, text_mask
+        )
+
+    def generate(self, samples: Dict, **generate_kwargs) -> Dict:
+        """Greedy (or top-p) decode (myriad.py:433-454)."""
+        stage = 1
+        image, question, _, maps, one_maps = self.prepare_sample(
+            samples, stage, training=False
+        )
+        use_maps = one_maps if self.k_shot > 0 else maps
+        before, after = self.split_prompt(question)
+
+        key = ("prefill", stage, image.shape, before.shape, after.shape)
+        if key not in self._jit_cache:
+            module = self.module
+
+            @jax.jit
+            def prefill(params, image, maps, before, after):
+                return module.apply(
+                    {"params": params}, image, maps, before, after, stage,
+                    method=MyriadModule.prefill_embeds,
+                )
+
+            self._jit_cache[key] = prefill
+        embeds = self._jit_cache[key](
+            self.params, jnp.asarray(image), use_maps,
+            jnp.asarray(before), jnp.asarray(after),
+        )
+
+        gen_cfg = GenerationConfig(
+            max_new_tokens=generate_kwargs.get("max_new_tokens", 90),
+            do_sample=generate_kwargs.get("do_sample", False),
+            top_p=generate_kwargs.get("top_p", 0.01),
+            temperature=generate_kwargs.get("temperature", 1.0),
+        )
+        llama = LlamaForCausalLM(self.arch.llama, self.policy.compute_dtype,
+                                 self.policy.param_dtype)
+        tokens = greedy_generate(
+            llama, {"params": self.params["llama"]}, embeds, config=gen_cfg,
+            rng=jax.random.PRNGKey(int(generate_kwargs.get("seed", 0))),
+        )
+        return {"token_ids": tokens, "ve_anomaly_maps": use_maps}
+
+    # -- config ---------------------------------------------------------------
+    @classmethod
+    def from_config(cls, cfg):
+        arch_preset = cfg.get("arch_preset", "full")
+        arch = MyriadArch.tiny() if arch_preset == "tiny" else MyriadArch.full()
+        if cfg.get("image_size"):
+            arch = dataclasses.replace(arch, img_size=cfg.get("image_size"))
+        if cfg.get("num_query_token") and arch_preset == "full":
+            arch = dataclasses.replace(arch, num_query_token=cfg.get("num_query_token"))
+
+        model = cls(
+            arch=arch,
+            freeze_vit=cfg.get("freeze_vit", True),
+            freeze_qformer=cfg.get("freeze_qformer", True),
+            freeze_llama=cfg.get("freeze_llama", True),
+            use_lora=cfg.get("use_lora", False),
+            use_grad_checkpoint=cfg.get("use_grad_checkpoint", False),
+            use_ve=cfg.get("use_ve", True),
+            round_index=cfg.get("round_index", 0),
+            k_shot=cfg.get("k_shot", 0),
+            llama_model=cfg.get("llama_model", ""),
+            prompt_path=cfg.get("prompt_path", ""),
+            prompt_template=cfg.get("prompt_template", ""),
+            max_txt_len=cfg.get("max_txt_len", 32),
+            end_sym=cfg.get("end_sym", "\n"),
+            policy=Policy.fp32() if cfg.get("vit_precision") == "fp32" else Policy.bf16(),
+            seed=cfg.get("seed", 0),
+            init_vision_expert=cfg.get("init_vision_expert", True),
+        )
+        ckpt_path = cfg.get("ckpt", "")
+        if ckpt_path:
+            logging.info("Load checkpoint: %s", ckpt_path)
+            model.load_checkpoint(ckpt_path)
+        return model

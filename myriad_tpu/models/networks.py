@@ -65,11 +65,13 @@ class _ConvPyramid(nn.Module):
 
 
 class VEInstructorV2(nn.Module):
-    """Anomaly map -> N expert tokens x 768 for the Q-Former
-    (networks.py:95-153).  version 0/1/2 -> 49/25/9 tokens."""
+    """Anomaly map -> N expert tokens x out_dim for the Q-Former
+    (networks.py:95-153).  version 0/1/2 -> 49/25/9 tokens; out_dim is the
+    Q-Former hidden size (768 in the reference)."""
 
     dim_in: int = 1
     version: int = 0
+    out_dim: int = 768
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -79,30 +81,30 @@ class VEInstructorV2(nn.Module):
 
     @nn.compact
     def __call__(self, maps: jnp.ndarray) -> jnp.ndarray:
-        """maps: (B, 224, 224, dim_in) -> (B, num_tokens, 768)."""
+        """maps: (B, 224, 224, dim_in) -> (B, num_tokens, out_dim)."""
         x = _ConvPyramid(self.dim_in, self.dtype, self.param_dtype, name="pyramid")(
             maps.astype(self.dtype)
         )  # (B,7,7,1024)
         if self.version == 0:
-            x = nn.Conv(768, kernel_size=(1, 1), padding=0, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="head")(x)  # (B,7,7,768)
+            x = nn.Conv(self.out_dim, kernel_size=(1, 1), padding=0, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="head")(x)  # (B,7,7,out_dim)
         elif self.version == 1:
             x = nn.Conv(self.dim_in * 1024, kernel_size=(3, 3), padding="VALID",
                         dtype=self.dtype, param_dtype=self.param_dtype, name="mid")(x)
             x = nn.relu(x)
-            x = nn.Conv(768, kernel_size=(1, 1), padding=0, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="head")(x)  # (B,5,5,768)
+            x = nn.Conv(self.out_dim, kernel_size=(1, 1), padding=0, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="head")(x)  # (B,5,5,out_dim)
         elif self.version == 2:
             x = nn.Conv(self.dim_in * 1024, kernel_size=(3, 3), padding=1,
                         dtype=self.dtype, param_dtype=self.param_dtype, name="mid")(x)
             x = nn.relu(x)
             x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))  # (B,3,3,1024)
-            x = nn.Conv(768, kernel_size=(1, 1), padding=0, dtype=self.dtype,
+            x = nn.Conv(self.out_dim, kernel_size=(1, 1), padding=0, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="head")(x)
         else:
             raise NotImplementedError(f"VEInstructorV2 version {self.version}")
         b = x.shape[0]
-        return x.reshape(b, self.num_tokens, 768)
+        return x.reshape(b, self.num_tokens, self.out_dim)
 
 
 class VETokenizer(nn.Module):
