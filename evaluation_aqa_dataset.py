@@ -1,0 +1,226 @@
+"""AQA/AD evaluation harness (reference evaluation_aqa_dataset.py:233-390,
+same CLI and output jsonl schema).
+
+Builds the model from --cfg-path, runs batched greedy decode over the
+MVTec-AD / VisA test jsonl and writes one result row per image:
+{image_id, image_path, is_anomaly, error, output, anomaly_score}.
+
+Decode protocol matches the reference: max_new_tokens=90, stop on '###'
+([835] / [2277,29937]), top_p=0.01 (≈greedy; pass --greedy for the exact
+deterministic path the README pledges).  The dead task types of the
+reference (aqa/roi/al/adroi reference missing dataset classes,
+SURVEY.md §2.8) are rejected with a clear message.
+"""
+
+import argparse
+import json
+import os
+import time
+from datetime import datetime
+
+import numpy as np
+
+import myriad_tpu.datasets  # noqa: F401 - registration
+import myriad_tpu.models  # noqa: F401 - registration
+import myriad_tpu.processors  # noqa: F401 - registration
+from myriad_tpu.common import dist
+from myriad_tpu.common.config import Config
+from myriad_tpu.common.logger import setup_logger
+from myriad_tpu.common.registry import registry
+from myriad_tpu.datasets.anomaly_detection import AnomalyDetectionDataset
+from myriad_tpu.datasets.loaders import DataLoader
+from myriad_tpu.processors.blip_processors import LocImageTrainProcessor
+from myriad_tpu.processors import functional as F
+from PIL import Image
+
+LIVE_TASKS = ("ad", "ad_few", "1cls", "shot")
+DEAD_TASKS = ("aqa", "roi", "al", "adroi")  # reference classes missing (SURVEY §2.8)
+
+ANNO_FILES = {
+    "ad": {"eval": "DC_MVTEC_test_normal.jsonl"},
+    "ad_few": {"eval": "DC_VISA_test_normal.jsonl"},
+    "1cls": {"visa": "DC_VISA_test_normal.jsonl", "mvtec": "DC_MVTEC_test_normal.jsonl"},
+    "shot": {"visa": "DC_VISA_test_normal.jsonl", "mvtec": "DC_MVTEC_test_normal.jsonl"},
+}
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="AQA evaluation")
+    p.add_argument("--cfg-path", required=True)
+    p.add_argument("--task_type", type=str, default="1cls",
+                   choices=LIVE_TASKS + DEAD_TASKS)
+    p.add_argument("--split", type=str, default="mvtec",
+                   choices=["eval", "test", "train", "visa", "mvtec"])
+    p.add_argument("--ckpt", type=int, default=-1)
+    p.add_argument("--bs", type=int, default=1)
+    p.add_argument("--round_index", type=int, default=14)
+    p.add_argument("--k_shot", type=int, default=0)
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--greedy", action="store_true",
+                   help="deterministic argmax decode (default matches the "
+                        "reference's top_p=0.01 sampling, which is ≈greedy)")
+    p.add_argument("--max_new_tokens", type=int, default=90)
+    p.add_argument("--save_path", type=str, default="")
+    p.add_argument("--options", nargs="+")
+    return p.parse_args()
+
+
+def build_dataset(args, ds_cfg, data_root: str):
+    if args.task_type in DEAD_TASKS:
+        raise SystemExit(
+            f"task_type '{args.task_type}' references dataset classes that do "
+            "not exist in the reference tree (SURVEY.md §2.8); live types: "
+            f"{LIVE_TASKS}"
+        )
+    ad_cfg = ds_cfg.get("anomaly_detection", {})
+    ann = ANNO_FILES[args.task_type][args.split]
+    return AnomalyDetectionDataset(
+        LocImageTrainProcessor(identity=True),
+        None,
+        data_root,
+        ve_root=ad_cfg.get("build_info", {}).get("ve_storage", ""),
+        ann_paths=[ann],
+        img_size=ad_cfg.get("img_size", 224),
+        crop_size=ad_cfg.get("crop_size", 224),
+        with_mask=ad_cfg.get("with_mask", False),
+        is_preload=ad_cfg.get("is_preload", True),
+        stage="test",
+    )
+
+
+def load_reference_images(paths, size: int = 224):
+    """ImageBind-style preprocessing for one-shot reference images
+    (reference data.load_and_transform_vision_data: resize 224 bicubic,
+    center-crop 224, CLIP normalize)."""
+    imgs = []
+    for p in paths:
+        img = Image.open(p).convert("RGB")
+        img = F.center_crop(F.resize_bicubic(img, size), size)
+        imgs.append(F.normalize(F.to_float_hwc(img)))
+    return np.stack(imgs)
+
+
+def setup_vision_expert(model, dataset, data_root: str, round_index: int, k_shot: int):
+    """Hoist the reference's per-forward text encode + per-step reference
+    disk reads into one-time cache builds (SURVEY.md §7.3 risk 3)."""
+    from myriad_tpu.models.vision_expert import ReferenceSpec
+
+    ve = model.vision_expert
+    if ve is None:
+        return
+    classes = sorted({ann["img_path"].split("/")[1] for ann in dataset.annotation})
+    ve.class_names = classes
+    ve.class_index = {c: i for i, c in enumerate(classes)}
+    ve._text_feats = None
+    ve._ref_bank = None
+    ve.build_text_features()
+
+    spec = ReferenceSpec(round_index=round_index, k_shot=k_shot)
+    refs = {}
+    ds_name = "visa" if dataset.is_visa else "mvtec"
+    for cls in classes:
+        good = os.path.join(data_root, ds_name, cls, "train", "good")
+        names = spec.mvtec_names()
+        paths = [os.path.join(good, n) for n in names if os.path.isfile(os.path.join(good, n))]
+        if not paths and os.path.isdir(good):
+            all_files = sorted(os.listdir(good))[: spec.effective_k]
+            paths = [os.path.join(good, n) for n in all_files]
+        if paths:
+            refs[cls] = load_reference_images(paths, model.arch.imagebind.img_size)
+    if refs:
+        ve.build_reference_bank(refs)
+
+
+def device_mem_mb() -> float:
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) / (1024 * 1024)
+    except Exception:
+        return 0.0
+
+
+def main():
+    args = parse_args()
+    cfg = Config(args)
+    dist.configure_platform(cfg.run_cfg.get("device") if cfg.config.get("run") else None)
+    setup_logger()
+
+    model_config = cfg.model_cfg
+    model_config.round_index = args.round_index
+    model_config.k_shot = args.k_shot
+    if args.ckpt != -1 and model_config.get("ckpt"):
+        parts = model_config.ckpt.split("/")
+        parts[-1] = f"checkpoint_{args.ckpt}"
+        model_config.ckpt = "/".join(parts)
+
+    model_cls = registry.get_model_class(model_config.arch)
+    model = model_cls.from_config(model_config)
+
+    ds_cfg = cfg.datasets_cfg
+    data_root = ds_cfg.get("anomaly_detection", {}).get("build_info", {}).get(
+        "storage", "./data/EvalADDataset"
+    )
+    dataset = build_dataset(args, ds_cfg, data_root)
+    setup_vision_expert(model, dataset, data_root, args.round_index, args.k_shot)
+
+    dataloader = DataLoader(dataset, batch_size=args.bs, num_workers=4)
+
+    ckpt_name = os.path.basename(str(model_config.get("ckpt", "checkpoint_0")))
+    num_ckpt = ckpt_name.split("_")[-1].split(".")[0] or "0"
+    prefix = (
+        f"results_ckpt{num_ckpt}_training={args.task_type}_split={args.split}"
+        f"_kshot={args.k_shot}_roundindex={args.round_index}"
+        f"_{datetime.now().strftime('%Y%m%d_%H%M')}"
+    )
+    save_path = args.save_path or os.path.join(".", f"{prefix}.jsonl")
+    print(f"Results will be saved to {save_path}")
+
+    generate_kwargs = {
+        "max_new_tokens": args.max_new_tokens,
+        "do_sample": not args.greedy,
+        "top_p": 0.01,
+        "temperature": 1.0,
+    }
+
+    all_time = 0.0
+    n_batches = 0
+    with open(save_path, "w") as writer:
+        for testid, samples in enumerate(dataloader):
+            if testid < args.start:
+                continue
+            t1 = time.time()
+            outputs = model.generate(samples, **generate_kwargs)
+            token_ids = np.asarray(outputs["token_ids"])
+            t2 = time.time()
+            all_time += t2 - t1
+            n_batches += 1
+
+            token_ids = np.clip(token_ids, 1, 40000)
+            output_text = model.llama_tokenizer.batch_decode(token_ids)
+            maps = np.asarray(outputs.get("ve_anomaly_maps"))
+
+            for ind, text in enumerate(output_text):
+                text = text.split("###")[0]
+                is_anomaly = bool(samples["is_anomaly"][ind])
+                item = {
+                    "image_id": int(samples["image_id"][ind]),
+                    "image_path": "/".join(samples["img_path"][ind].split("/")[-5:]),
+                    "is_anomaly": is_anomaly,
+                    "output": text,
+                }
+                if ("Yes" in text and is_anomaly) or ("No" in text and not is_anomaly):
+                    item["error"] = "0"
+                else:
+                    item["error"] = "1"
+                if maps is not None and maps.size:
+                    item["anomaly_score"] = str(round(float(maps[ind].max()), 4))
+                writer.write(json.dumps(item) + "\n")
+
+    print("Device Memory:", device_mem_mb())
+    print("Mean Time: ", all_time / max(n_batches, 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,21 @@ import numpy as np
 _initialized = False
 
 
+def configure_platform(device: Optional[str]) -> None:
+    """Select the JAX platform from the run config's ``device`` knob.
+
+    The sandbox may pin a TPU platform via an early plugin that overrides
+    the JAX_PLATFORMS env var, so 'cpu' must be forced through jax.config
+    (before any backend initialisation).
+    """
+    if not device:
+        return
+    device = str(device).lower()
+    if device in ("cpu",):
+        jax.config.update("jax_platforms", "cpu")
+    # 'tpu'/'cuda' keep the environment default
+
+
 def init_distributed_mode(run_cfg=None) -> None:
     """Join a multi-host JAX job when coordinator env vars are present.
 

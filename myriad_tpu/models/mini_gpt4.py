@@ -205,6 +205,31 @@ class MiniGPT4(BaseModel):
             mask[i, : len(ids)] = 1
         return out, mask
 
+    def prepare_train_arrays(self, samples: Dict, rng: np.random.Generator):
+        image = np.asarray(samples["image"], np.float32)
+        if self.prompt_list:
+            prompt = self.prompt_list[int(rng.integers(0, len(self.prompt_list)))]
+        else:
+            prompt = "<ImageHere>"
+        before, after = self.split_prompt(prompt)
+        text_ids, text_mask = self.tokenize_targets(list(samples["text_input"]))
+        arrays = {
+            "image": jnp.asarray(image),
+            "before": jnp.asarray(before),
+            "after": jnp.asarray(after),
+            "text_ids": jnp.asarray(text_ids),
+            "text_mask": jnp.asarray(text_mask),
+        }
+        return arrays, ()
+
+    def pure_loss(self, trainable, frozen, arrays, static):
+        params = ckpt_lib.overlay_trees(frozen, trainable)
+        return self.module.apply(
+            {"params": params}, arrays["image"], arrays["before"], arrays["after"],
+            arrays["text_ids"], arrays["text_mask"],
+            method=MiniGPT4Module.forward_train,
+        )
+
     def forward(self, samples: Dict, rng: Optional[np.random.Generator] = None) -> Dict:
         rng = rng or np.random.default_rng()
         image = np.asarray(samples["image"], np.float32)

@@ -413,6 +413,36 @@ class Myriad(BaseModel):
             one_maps = jnp.zeros(shape, jnp.float32)
         return image, question, texts, maps, one_maps
 
+    # -- runner protocol --------------------------------------------------------
+    def prepare_train_arrays(self, samples: Dict, rng: np.random.Generator):
+        """Host-side batch prep for the jitted train step: random prompt
+        stage / task stage (myriad.py:378-381), VE maps, tokenized pieces."""
+        stage = int(rng.integers(0, 3))
+        task = int(rng.integers(0, 2))
+        image, question, texts, maps, one_maps = self.prepare_sample(samples, stage)
+        use_maps = one_maps if task == 1 else maps
+        before, after = self.split_prompt(question)
+        text_ids, text_mask = self.tokenize_targets(texts)
+        arrays = {
+            "image": jnp.asarray(image),
+            "maps": jnp.asarray(use_maps),
+            "before": jnp.asarray(before),
+            "after": jnp.asarray(after),
+            "text_ids": jnp.asarray(text_ids),
+            "text_mask": jnp.asarray(text_mask),
+        }
+        return arrays, (stage,)
+
+    def pure_loss(self, trainable, frozen, arrays, static):
+        """Pure loss over param subtrees — the jit/grad unit for the runner."""
+        (stage,) = static
+        params = ckpt_lib.overlay_trees(frozen, trainable)
+        return self.module.apply(
+            {"params": params}, arrays["image"], arrays["maps"], arrays["before"],
+            arrays["after"], arrays["text_ids"], arrays["text_mask"], stage,
+            method=MyriadModule.forward_train,
+        )
+
     # -- public API -----------------------------------------------------------
     def forward(self, samples: Dict, rng: Optional[np.random.Generator] = None) -> Dict:
         """One training loss computation with random stage/task

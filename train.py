@@ -1,0 +1,71 @@
+"""Training entry point (reference train.py:44-116, same CLI surface).
+
+Usage:
+    python train.py --cfg-path train_configs/loraadapter_simple_myriad_finetune.yaml \
+        [--options run.max_epoch=1 ...]
+"""
+
+import argparse
+import logging
+import random
+from datetime import datetime
+
+import numpy as np
+
+import myriad_tpu.datasets  # noqa: F401 - registration
+import myriad_tpu.models  # noqa: F401 - registration
+import myriad_tpu.processors  # noqa: F401 - registration
+import myriad_tpu.runners  # noqa: F401 - registration
+import myriad_tpu.tasks as tasks
+from myriad_tpu.common import dist
+from myriad_tpu.common.config import Config
+from myriad_tpu.common.logger import setup_logger
+from myriad_tpu.common.registry import registry
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Training")
+    parser.add_argument("--cfg-path", required=True, help="path to configuration file.")
+    parser.add_argument(
+        "--options",
+        nargs="+",
+        help="override some settings in the used config; key-value pairs "
+        "in xxx=yyy format are merged into the config file.",
+    )
+    return parser.parse_args()
+
+
+def setup_seeds(config) -> None:
+    """seed + rank (reference train.py:63-72); JAX determinism comes from
+    explicit PRNG keys derived from the same seed."""
+    seed = int(config.run_cfg.get("seed", 42)) + dist.get_rank()
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def now() -> str:
+    return datetime.now().strftime("%Y%m%d%H%M%S")
+
+
+def main():
+    args = parse_args()
+    cfg = Config(args)
+
+    dist.configure_platform(cfg.run_cfg.get("device"))
+    dist.init_distributed_mode(cfg.run_cfg)
+    setup_seeds(cfg)
+    setup_logger()
+    cfg.pretty_print()
+
+    job_id = now()
+    task = tasks.setup_task(cfg)
+    datasets = task.build_datasets(cfg)
+    model = task.build_model(cfg)
+
+    runner_cls = registry.get_runner_class(cfg.run_cfg.get("runner", "runner_base"))
+    runner = runner_cls(cfg=cfg, task=task, model=model, datasets=datasets, job_id=job_id)
+    runner.train()
+
+
+if __name__ == "__main__":
+    main()
