@@ -1,0 +1,175 @@
+"""Benchmark: MVTec-AD AQA eval step throughput on one TPU chip.
+
+Measures the full evaluation step of the Myriad pipeline
+(BASELINE.json metric "images/sec/chip on MVTec-AD AQA eval"):
+
+    zero-shot VE anomaly maps (ImageBind-huge vision + decoder + text sim)
+    -> encode_img stage 1 (EVA-ViT-g + adaptor + Q-Former + VE tokens)
+    -> LLM prefill + 90-token greedy decode (Pallas KV-cache attention)
+
+Profile: the vision stack runs at FULL reference scale (EVA-ViT-g/14 1.0B,
+ImageBind-huge vision 630M, Q-Former, VE adaptors).  The LLM uses LLaMA
+hidden 4096 / 32 heads with REDUCED depth (16 of 32 layers, ~3.4B params)
+so the whole pipeline + KV cache fits a single v5e chip's 16 GiB HBM —
+Vicuna-7B itself is served sharded over the mesh (see
+__graft_entry__.dryrun_multichip); per-chip decode math is identical per
+layer, so images/sec/chip at depth 16 is reported with the depth ratio
+noted in the JSON line.
+
+vs_baseline: the reference publishes no numbers (BASELINE.json
+"published": {}).  The denominator is an estimate of the reference stack
+on A100: HF fp16 Vicuna-7B generate (90 new tokens, batch 1) plus the
+double ImageBind VE forward with per-batch text re-encode and in-forward
+disk reads (evaluation_aqa_dataset.py timing hooks :328-332) ~= 0.5
+images/sec.  Replace with a measured number when one exists.
+
+Usage: python bench.py [--dry-run] [--batch 4] [--profile bench|tiny]
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_A100_IMAGES_PER_SEC = 0.5  # documented estimate, see module docstring
+DECODE_TOKENS = 90
+
+
+def build_profile(name: str):
+    from myriad_tpu.models.imagebind import ImageBindConfig
+    from myriad_tpu.models.llama import LlamaConfig
+    from myriad_tpu.models.myriad import MyriadArch
+
+    if name == "tiny":
+        return MyriadArch.tiny()
+    if name == "bench":
+        return MyriadArch.full(
+            llama=LlamaConfig(
+                vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+                num_layers=16, num_heads=32, max_position_embeddings=2048,
+            ),
+        )
+    if name == "full":
+        return MyriadArch.full()
+    raise ValueError(name)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dry-run", action="store_true", help="tiny profile on CPU")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--profile", type=str, default=None, choices=["bench", "tiny", "full"])
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+
+    if args.dry_run:
+        jax.config.update("jax_platforms", "cpu")
+    profile = args.profile or ("tiny" if args.dry_run else "bench")
+
+    import jax.numpy as jnp
+
+    from myriad_tpu.generation import GenerationConfig, greedy_generate
+    from myriad_tpu.models.clip_tokenizer import HashTokenizer
+    from myriad_tpu.models.layers import Policy
+    from myriad_tpu.models.llama import LlamaForCausalLM
+    from myriad_tpu.models.myriad import Myriad, MyriadModule
+    from myriad_tpu.models.vision_expert import AnomalyExpertModule, VisionExpert
+
+    arch = build_profile(profile)
+    b = args.batch if profile != "tiny" else 2
+    print(f"[bench] profile={profile} batch={b} device={jax.devices()[0]}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    model = Myriad(arch=arch, use_ve=True, use_lora=False,
+                   policy=Policy.fp32() if args.dry_run else Policy.bf16_params(),
+                   max_txt_len=160, end_sym="###", seed=0)
+    ve = model.vision_expert
+    ve.class_names = ["bottle"]
+    ve.class_index = {"bottle": 0}
+    ve.build_text_features()
+    print(f"[bench] init {time.time()-t0:.1f}s params={model.show_n_params()}",
+          file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(b, arch.img_size, arch.img_size, 3)).astype(np.float32)
+    )
+    scenes = ["bottle"] * b
+
+    # prompt pieces (the real AQA question, ByteTokenizer ids)
+    from myriad_tpu.datasets.anomaly_detection import QUESTION_PROMPTS
+
+    question = "<Img><ImageHere></Img>" + QUESTION_PROMPTS[1]
+    before, after = model.split_prompt(question)
+    before_j, after_j = jnp.asarray(before), jnp.asarray(after)
+
+    llama = LlamaForCausalLM(arch.llama, model.policy.compute_dtype,
+                             model.policy.param_dtype)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=DECODE_TOKENS, eos_token_id=-1, stop_single=-1,
+        stop_pair=(-1, -1),
+    )  # stops disabled: measure the full 90-token budget deterministically
+
+    params = model.params
+    ve_params = ve.params
+    text_feats = ve._text_feats[jnp.zeros((b,), jnp.int32)]
+    ve_module = ve.module
+    cache_dtype = model.policy.compute_dtype
+    rng_key = __import__("jax").random.PRNGKey(0)
+
+    @__import__("jax").jit
+    def eval_step_fn(params, ve_params, text_feats, images):
+        maps, _ = ve_module.apply(ve_params, images, text_feats,
+                                  method=AnomalyExpertModule.zero_shot)
+        embeds = model.module.apply(
+            {"params": params}, images, maps, before_j, after_j, 1,
+            method=MyriadModule.prefill_embeds,
+        )
+        return greedy_generate(
+            llama, {"params": params["llama"]}, embeds, config=gen_cfg,
+            cache_dtype=cache_dtype, rng=rng_key,
+        )
+
+    def eval_step(images):
+        return eval_step_fn(params, ve_params, text_feats, images)
+
+    # warmup / compile
+    t0 = time.time()
+    tokens = eval_step(images)
+    np.asarray(tokens)
+    compile_s = time.time() - t0
+    print(f"[bench] first step (compile) {compile_s:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        tokens = eval_step(images)
+        np.asarray(tokens)  # block
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    images_per_sec = b / med
+    p50_latency = med / b
+
+    result = {
+        "metric": "images/sec/chip (MVTec-AD AQA eval step: VE maps + encode_img "
+                  f"+ {DECODE_TOKENS}-token greedy decode; llama depth "
+                  f"{arch.llama.num_layers})",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / REFERENCE_A100_IMAGES_PER_SEC, 3),
+        "p50_per_image_s": round(p50_latency, 4),
+        "batch": b,
+        "profile": profile,
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

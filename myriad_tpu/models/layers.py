@@ -32,6 +32,12 @@ class Policy:
     def bf16() -> "Policy":
         return Policy(jnp.float32, jnp.bfloat16, jnp.float32)
 
+    @staticmethod
+    def bf16_params() -> "Policy":
+        """bf16 storage + compute (frozen-tower memory profile: the 8.6B
+        frozen params must fit v5e HBM, SURVEY.md §7.3 risk 5)."""
+        return Policy(jnp.bfloat16, jnp.bfloat16, jnp.float32)
+
 
 def trunc_normal(std: float = 0.02) -> Callable:
     return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)

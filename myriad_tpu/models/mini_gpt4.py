@@ -155,9 +155,14 @@ class MiniGPT4(BaseModel):
         ids = jnp.zeros((2,), jnp.int32)
         text = jnp.zeros((1, 2), jnp.int32)
         mask = jnp.ones((1, 2), jnp.int32)
-        return self.module.init(
-            rng, img, ids, ids, text, mask, method=MiniGPT4Module.forward_train
-        )["params"]
+
+        @jax.jit
+        def init_fn(rng):
+            return self.module.init(
+                rng, img, ids, ids, text, mask, method=MiniGPT4Module.forward_train
+            )
+
+        return init_fn(rng)["params"]
 
     def _trainable_predicate(self):
         def pred(path: str) -> bool:

@@ -37,7 +37,6 @@ from flax import linen as nn
 
 from myriad_tpu import checkpoint as ckpt_lib
 from myriad_tpu.common.registry import registry
-from myriad_tpu.generation import GenerationConfig, greedy_generate
 from myriad_tpu.models.base import BaseModel
 from myriad_tpu.models.eva_vit import EvaViT
 from myriad_tpu.models.imagebind import ImageBindConfig
@@ -306,20 +305,31 @@ class Myriad(BaseModel):
         ids = jnp.zeros((2,), jnp.int32)
         text = jnp.zeros((1, 2), jnp.int32)
         mask = jnp.ones((1, 2), jnp.int32)
-        variables = self.module.init(
-            rng, img, maps, ids, ids, text, mask, 1,
-            method=MyriadModule.forward_train,
-        )
-        return variables["params"]
+
+        # jit the whole init: one compiled program instead of thousands of
+        # op-by-op dispatches (critical over a remote TPU link)
+        @jax.jit
+        def init_fn(rng):
+            return self.module.init(
+                rng, img, maps, ids, ids, text, mask, 1,
+                method=MyriadModule.forward_train,
+            )
+
+        return init_fn(rng)["params"]
 
     def _init_ve_params(self, ve_module, rng) -> Dict:
         cfg = self.arch.imagebind
         imgs = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
         ids = jnp.zeros((1, cfg.context_length), jnp.int32)
-        pz = ve_module.init(rng, imgs, jnp.zeros((1, 2, cfg.out_embed_dim)),
-                            method=AnomalyExpertModule.zero_shot)
-        pt = ve_module.init(rng, ids, method=AnomalyExpertModule.encode_text)
-        return {"params": {**pz["params"], **pt["params"]}}
+
+        @jax.jit
+        def init_fn(rng):
+            pz = ve_module.init(rng, imgs, jnp.zeros((1, 2, cfg.out_embed_dim)),
+                                method=AnomalyExpertModule.zero_shot)
+            pt = ve_module.init(rng, ids, method=AnomalyExpertModule.encode_text)
+            return {"params": {**pz["params"], **pt["params"]}}
+
+        return init_fn(rng)
 
     def _trainable_predicate(self):
         """Path-based requires_grad (myriad.py:117-233 freeze logic)."""
@@ -489,22 +499,7 @@ class Myriad(BaseModel):
         use_maps = one_maps if self.k_shot > 0 else maps
         before, after = self.split_prompt(question)
 
-        key = ("prefill", stage, image.shape, before.shape, after.shape)
-        if key not in self._jit_cache:
-            module = self.module
-
-            @jax.jit
-            def prefill(params, image, maps, before, after):
-                return module.apply(
-                    {"params": params}, image, maps, before, after, stage,
-                    method=MyriadModule.prefill_embeds,
-                )
-
-            self._jit_cache[key] = prefill
-        embeds = self._jit_cache[key](
-            self.params, jnp.asarray(image), use_maps,
-            jnp.asarray(before), jnp.asarray(after),
-        )
+        from myriad_tpu.generation import GenerationConfig, greedy_generate
 
         gen_cfg = GenerationConfig(
             max_new_tokens=generate_kwargs.get("max_new_tokens", 90),
@@ -512,11 +507,32 @@ class Myriad(BaseModel):
             top_p=generate_kwargs.get("top_p", 0.01),
             temperature=generate_kwargs.get("temperature", 1.0),
         )
-        llama = LlamaForCausalLM(self.arch.llama, self.policy.compute_dtype,
-                                 self.policy.param_dtype)
-        tokens = greedy_generate(
-            llama, {"params": self.params["llama"]}, embeds, config=gen_cfg,
-            rng=jax.random.PRNGKey(int(generate_kwargs.get("seed", 0))),
+
+        # one jit for the whole pipeline (prefill + decode while-loop) —
+        # op-by-op dispatch of the decode loop is latency-bound on remote TPU
+        key = ("generate", stage, image.shape, before.shape, after.shape, gen_cfg)
+        if key not in self._jit_cache:
+            module = self.module
+            llama = LlamaForCausalLM(self.arch.llama, self.policy.compute_dtype,
+                                     self.policy.param_dtype)
+            cache_dtype = self.policy.compute_dtype
+
+            @jax.jit
+            def gen(params, image, maps, before, after, rng):
+                embeds = module.apply(
+                    {"params": params}, image, maps, before, after, stage,
+                    method=MyriadModule.prefill_embeds,
+                )
+                return greedy_generate(
+                    llama, {"params": params["llama"]}, embeds, config=gen_cfg,
+                    rng=rng, cache_dtype=cache_dtype,
+                )
+
+            self._jit_cache[key] = gen
+        tokens = self._jit_cache[key](
+            self.params, jnp.asarray(image), use_maps,
+            jnp.asarray(before), jnp.asarray(after),
+            jax.random.PRNGKey(int(generate_kwargs.get("seed", 0))),
         )
         return {"token_ids": tokens, "ve_anomaly_maps": use_maps}
 

@@ -73,6 +73,8 @@ def tree_shardings(params, mesh: Mesh, rules: Sequence[Rule]):
 #  * embeddings / lm_head: shard the vocab/feature dim
 # Biases/norms and everything unmatched stay replicated.
 LLAMA_RULES: List[Rule] = [
+    # q/v are LoraDense-wrapped ('base'), k is a plain Dense
+    (r"(q_proj|v_proj)/base/kernel$", P(None, "model")),
     (r"(q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
     (r"(gate_proj|up_proj)/kernel$", P(None, "model")),
     (r"o_proj/kernel$", P("model", None)),

@@ -70,6 +70,18 @@ class RunnerBase:
         self._step_cache: Dict = {}
         self.global_step = 0
         self.start_epoch = 0
+
+        # GSPMD mesh: batch over 'data', tensor-parallel over 'model'
+        # (the reference is DP-only; model sharding is the TPU addition the
+        # 7B towers need on v5e, SURVEY.md §2.9)
+        self.mesh = None
+        n_model = int(self.run_cfg.get("model_shards", 1))
+        use_mesh = bool(self.run_cfg.get("use_mesh", n_model > 1))
+        if use_mesh:
+            from myriad_tpu.parallel import mesh as mesh_lib
+
+            self.mesh = mesh_lib.make_mesh(n_model=n_model)
+            self._place_model()
         self.ckpt_manager = CheckpointManager(
             self.output_dir, int(self.run_cfg.get("max_checkpoints", -1))
         )
@@ -77,6 +89,33 @@ class RunnerBase:
         resume = self.run_cfg.get("resume_ckpt_path")
         if resume:
             self._resume(resume)
+
+    def _place_model(self) -> None:
+        """Shard model params over the mesh with the partition rules."""
+        from myriad_tpu.parallel import partition
+
+        rules = partition.myriad_rules()
+        self.model.trainable = jax.device_put(
+            self.model.trainable,
+            partition.tree_shardings(self.model.trainable, self.mesh, rules),
+        )
+        self.model.frozen = jax.device_put(
+            self.model.frozen,
+            partition.tree_shardings(self.model.frozen, self.mesh, rules),
+        )
+
+    def _shard_batch(self, arrays: Dict) -> Dict:
+        if self.mesh is None:
+            return arrays
+        from myriad_tpu.parallel import mesh as mesh_lib
+
+        out = {}
+        for k, v in arrays.items():
+            if hasattr(v, "ndim") and v.ndim >= 1 and k not in ("before", "after"):
+                out[k] = jax.device_put(v, mesh_lib.data_sharding(self.mesh, v.ndim))
+            else:
+                out[k] = jax.device_put(v, mesh_lib.replicated(self.mesh))
+        return out
 
     # -- optimizer --------------------------------------------------------
     @property
@@ -177,6 +216,7 @@ class RunnerBase:
 
     def train_iteration(self, samples, rng: np.random.Generator):
         arrays, static = self.model.prepare_train_arrays(samples, rng)
+        arrays = self._shard_batch(arrays)
         step = self._get_step(static, arrays)
         new_trainable, new_opt, loss = step(
             self.model.trainable, self.opt_state, self.model.frozen, arrays

@@ -1,0 +1,41 @@
+"""Chat / conversation API tests."""
+
+import numpy as np
+import pytest
+
+from myriad_tpu.conversation import CONV_VISION, Chat
+from myriad_tpu.models.layers import Policy
+from myriad_tpu.models.myriad import Myriad, MyriadArch
+from myriad_tpu.processors.blip_processors import LocImageTrainProcessor
+
+
+def test_conversation_prompt_state_machine():
+    conv = CONV_VISION.copy()
+    conv.append_message(conv.roles[0], "<Img><ImageHere></Img> any defects?")
+    conv.append_message(conv.roles[1], None)
+    prompt = conv.get_prompt()
+    assert prompt.startswith("Give the following image")
+    assert "###Human: <Img><ImageHere></Img> any defects?###Assistant:" in prompt
+    # copy is independent
+    c2 = conv.copy()
+    c2.append_message(conv.roles[0], "more")
+    assert len(conv.messages) == 2 and len(c2.messages) == 3
+
+
+def test_chat_roundtrip():
+    model = Myriad(arch=MyriadArch.tiny(), use_ve=False, policy=Policy.fp32(),
+                   max_txt_len=16, end_sym="###")
+    chat = Chat(model, LocImageTrainProcessor(identity=True))
+    conv = CONV_VISION.copy()
+    img_list = []
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (28, 28, 3), dtype=np.uint8)
+    msg = chat.upload_img(image, conv, img_list)
+    assert msg == "Received."
+    assert len(img_list) == 1 and img_list[0].shape[0] == 1
+    chat.ask("Is there any defect?", conv)
+    # image message was extended with the question
+    assert conv.messages[-1][1].endswith("Is there any defect?")
+    text, tokens = chat.answer(conv, img_list, max_new_tokens=4)
+    assert isinstance(text, str)
+    assert conv.messages[-1][1] == text
