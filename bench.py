@@ -60,7 +60,8 @@ def build_profile(name: str):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dry-run", action="store_true", help="tiny profile on CPU")
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=8)  # best measured v5e throughput
+    # (batch 4: 3.8 img/s, batch 8: 7.0 img/s; batch 16 stalls XLA compile)
     p.add_argument("--profile", type=str, default=None, choices=["bench", "tiny", "full"])
     p.add_argument("--iters", type=int, default=3)
     args = p.parse_args()
@@ -69,6 +70,10 @@ def main():
 
     if args.dry_run:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from myriad_tpu.common.dist import enable_compilation_cache
+
+        enable_compilation_cache()
     profile = args.profile or ("tiny" if args.dry_run else "bench")
 
     import jax.numpy as jnp

@@ -60,6 +60,17 @@ def init_distributed_mode(run_cfg=None) -> None:
         )
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache: multi-minute whole-pipeline
+    compiles (prefill + 90-step decode) become one-time per machine."""
+    path = path or os.environ.get(
+        "MYRIAD_COMPILATION_CACHE", os.path.expanduser("~/.cache/myriad_tpu/xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def get_rank() -> int:
     return jax.process_index()
 

@@ -1,0 +1,77 @@
+"""Generation invariance properties backing the greedy-parity requirement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myriad_tpu.generation import GenerationConfig, greedy_generate
+from myriad_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+FP32 = dict(dtype=jnp.float32, param_dtype=jnp.float32)
+
+
+def _model():
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, **FP32)
+    params = model.init_params(jax.random.PRNGKey(3))
+    return model, params
+
+
+def test_prefix_consistency_across_budgets():
+    """Greedy tokens for max_new_tokens=N must be a prefix of those for
+    max_new_tokens=M>N (no hidden dependence on the cache budget)."""
+    model, params = _model()
+    rng = np.random.default_rng(0)
+    embeds = jnp.asarray(rng.normal(size=(2, 7, 64)).astype(np.float32) * 0.1)
+    cfg = dict(eos_token_id=-1, stop_single=-1, stop_pair=(-1, -1))
+    short = np.asarray(greedy_generate(
+        model, params, embeds, config=GenerationConfig(max_new_tokens=6, **cfg),
+        cache_dtype=jnp.float32))
+    long = np.asarray(greedy_generate(
+        model, params, embeds, config=GenerationConfig(max_new_tokens=20, **cfg),
+        cache_dtype=jnp.float32))
+    np.testing.assert_array_equal(short, long[:, :6])
+
+
+def test_batch_invariance():
+    """A row's greedy tokens don't depend on its batch neighbours."""
+    model, params = _model()
+    rng = np.random.default_rng(1)
+    embeds = jnp.asarray(rng.normal(size=(3, 5, 64)).astype(np.float32) * 0.1)
+    cfg = GenerationConfig(max_new_tokens=8, eos_token_id=-1, stop_single=-1,
+                           stop_pair=(-1, -1))
+    full = np.asarray(greedy_generate(model, params, embeds, config=cfg,
+                                      cache_dtype=jnp.float32))
+    solo = np.asarray(greedy_generate(model, params, embeds[1:2], config=cfg,
+                                      cache_dtype=jnp.float32))
+    np.testing.assert_array_equal(full[1:2], solo)
+
+
+def test_jit_eager_identical():
+    """The whole generate path produces identical tokens jitted vs eager."""
+    model, params = _model()
+    rng = np.random.default_rng(2)
+    embeds = jnp.asarray(rng.normal(size=(2, 4, 64)).astype(np.float32) * 0.1)
+    cfg = GenerationConfig(max_new_tokens=10)
+
+    def gen(params, embeds):
+        return greedy_generate(model, params, embeds, config=cfg,
+                               cache_dtype=jnp.float32)
+
+    eager = np.asarray(gen(params, embeds))
+    jitted = np.asarray(jax.jit(gen)(params, embeds))
+    np.testing.assert_array_equal(eager, jitted)
+
+
+def test_nsa_seeded_determinism(rng):
+    from myriad_tpu.datasets.nsa import patch_ex
+
+    dest = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+    src = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+    a1 = patch_ex(dest, src, rng=np.random.default_rng(7), mode="swap",
+                  label_mode="binary", width_bounds_pct=((0.1, 0.3), (0.1, 0.3)))
+    a2 = patch_ex(dest, src, rng=np.random.default_rng(7), mode="swap",
+                  label_mode="binary", width_bounds_pct=((0.1, 0.3), (0.1, 0.3)))
+    np.testing.assert_array_equal(a1[0], a2[0])
+    np.testing.assert_array_equal(a1[1], a2[1])
+    assert a1[2] == a2[2]
