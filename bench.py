@@ -60,10 +60,15 @@ def build_profile(name: str):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dry-run", action="store_true", help="tiny profile on CPU")
-    p.add_argument("--batch", type=int, default=8)  # best measured v5e throughput
-    # (batch 4: 3.8 img/s, batch 8: 7.0 img/s; batch 16 stalls XLA compile)
+    # measured v5e throughput (int8): b8 8.7, b16 12.2, b32 14.7 img/s —
+    # b16 is the default for its 5x faster XLA compile (100s vs 500s)
+    p.add_argument("--batch", type=int, default=16)
     p.add_argument("--profile", type=str, default=None, choices=["bench", "tiny", "full"])
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--quant", type=str, default="int8", choices=["none", "int8"],
+                   help="weight-only quantization of the frozen LLM (int8 "
+                        "halves decode HBM traffic; 'none' for the bf16 "
+                        "greedy-parity path)")
     args = p.parse_args()
 
     import jax
@@ -86,6 +91,10 @@ def main():
     from myriad_tpu.models.vision_expert import AnomalyExpertModule, VisionExpert
 
     arch = build_profile(profile)
+    if args.quant == "int8":
+        arch = dataclasses.replace(
+            arch, llama=dataclasses.replace(arch.llama, weight_dtype="int8")
+        )
     b = args.batch if profile != "tiny" else 2
     print(f"[bench] profile={profile} batch={b} device={jax.devices()[0]}",
           file=sys.stderr)
@@ -164,7 +173,7 @@ def main():
     result = {
         "metric": "images/sec/chip (MVTec-AD AQA eval step: VE maps + encode_img "
                   f"+ {DECODE_TOKENS}-token greedy decode; llama depth "
-                  f"{arch.llama.num_layers})",
+                  f"{arch.llama.num_layers}, weights {arch.llama.weight_dtype})",
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / REFERENCE_A100_IMAGES_PER_SEC, 3),

@@ -166,6 +166,18 @@ class AnomalyDetectionDataset(BaseDataset):
             return self._cache[rel].copy()
         return Image.open(os.path.join(self.vis_root, rel)).convert("RGB")
 
+    def prepare_ve(self, index: int) -> Optional[np.ndarray]:
+        """Precomputed vision-expert mask from ve_root (anomaly_detection.py
+        :194-200 — the aprilgan_processresults consumption path)."""
+        ann = self.annotation[index]
+        ve_rel = ann.get("ve_path") or os.path.splitext(ann["img_path"])[0] + ".png"
+        path = os.path.join(self.ve_root, ve_rel)
+        if not os.path.isfile(path):
+            return None
+        m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        m = cv2.resize(m, (self.crop_size, self.crop_size))
+        return m.astype(np.float32) / 255.0
+
     def _resize_crop(self, img: Image.Image) -> Image.Image:
         return F.center_crop(F.resize_bicubic(img, self.img_size), self.crop_size)
 
@@ -233,6 +245,11 @@ class AnomalyDetectionDataset(BaseDataset):
             "is_anomaly": ann.get("is_anomaly") == "1" or ann.get("is_anomaly") is True,
             "img_path": os.path.join(self.vis_root, ann["img_path"]),
         }
+        if self.with_mask and self.ve_root:
+            ve = self.prepare_ve(index)
+            if ve is not None:
+                ret["masks"] = ve[..., None]
+
         if self.stage == "train" and aug_sample is not None:
             ret["aug_image"] = np.asarray(aug_sample["img"], np.float32)
             ret["aug_text_input"] = (

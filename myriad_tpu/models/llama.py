@@ -52,6 +52,9 @@ class LlamaConfig:
     lora_rank: int = 8
     lora_alpha: int = 16
     lora_dropout: float = 0.05
+    # frozen-projection storage: "bf16" (plain Dense) or "int8"
+    # (weight-only quant — halves decode HBM traffic, ops/quant.py)
+    weight_dtype: str = "bf16"
 
     @property
     def kv_heads(self) -> int:
@@ -114,6 +117,30 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return x * cos + rotated * sin
 
 
+class QuantDense(nn.Module):
+    """Int8 weight-only Dense: params {w_int8 (in,out), scale (out,)}."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from myriad_tpu.ops.quant import int8_matmul
+
+        d = x.shape[-1]
+        w8 = self.param("w_int8", nn.initializers.zeros, (d, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        return int8_matmul(x.astype(self.dtype), w8, scale, out_dtype=self.dtype)
+
+
+def _proj(config: LlamaConfig, features: int, dtype, param_dtype, name: str):
+    """Frozen projection: plain Dense or int8-quantized Dense."""
+    if config.weight_dtype == "int8":
+        return QuantDense(features, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=False, dtype=dtype,
+                    param_dtype=param_dtype, name=name)
+
+
 class LoraDense(nn.Module):
     """Dense + optional low-rank update: y = xW + (alpha/r) * x A B."""
 
@@ -125,8 +152,11 @@ class LoraDense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="base")(x)
+        if self.config.weight_dtype == "int8" and not self.use_bias:
+            y = QuantDense(self.features, dtype=self.dtype, name="base")(x)
+        else:
+            y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="base")(x)
         if self.config.use_lora:
             cfg = self.config
             a = nn.Dense(cfg.lora_rank, use_bias=False, dtype=self.dtype,
@@ -159,9 +189,7 @@ class LlamaAttention(nn.Module):
         cfg = self.config
         b, t, _ = hidden.shape
         h, hk, d = cfg.num_heads, cfg.kv_heads, cfg.dims_per_head
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
-        )
+        dense = lambda feats, name: _proj(cfg, feats, self.dtype, self.param_dtype, name)
         q = LoraDense(h * d, cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                       name="q_proj")(hidden, deterministic)
         k = dense(hk * d, "k_proj")(hidden)
@@ -176,12 +204,18 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        # head-major layout (B, H, T, D): cache updates touch only the new
+        # slice, so decode steps never transpose the full cache
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
         new_cache = None
         if cache is not None:
-            # preallocated (B, Tmax, Hk, D) buffers; write at cache["index"]
+            # preallocated (B, Hk, Tmax, D) buffers; write at cache["index"]
             idx = cache["index"]
-            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0))
+            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0))
+            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, idx, 0))
             new_cache = {"k": ck, "v": cv, "index": idx + t}
             k_all, v_all = ck, cv
         else:
@@ -189,15 +223,15 @@ class LlamaAttention(nn.Module):
 
         if hk != h:
             rep = h // hk
-            k_all = jnp.repeat(k_all, rep, axis=2)
-            v_all = jnp.repeat(v_all, rep, axis=2)
+            k_all = jnp.repeat(k_all, rep, axis=1)
+            v_all = jnp.repeat(v_all, rep, axis=1)
 
         from myriad_tpu.ops.attention import mha
 
         out = mha(
-            q.transpose(0, 2, 1, 3),
-            k_all.transpose(0, 2, 1, 3).astype(q.dtype),
-            v_all.transpose(0, 2, 1, 3).astype(q.dtype),
+            q,
+            k_all.astype(q.dtype),
+            v_all.astype(q.dtype),
             mask=mask,
             scale=d**-0.5,
         )
@@ -214,9 +248,7 @@ class LlamaMlp(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
-        )
+        dense = lambda feats, name: _proj(cfg, feats, self.dtype, self.param_dtype, name)
         gate = dense(cfg.intermediate_size, "gate_proj")(x)
         up = dense(cfg.intermediate_size, "up_proj")(x)
         return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
@@ -277,7 +309,7 @@ class LlamaModel(nn.Module):
         """
         b, t, _ = inputs_embeds.shape
         if cache is not None:
-            kv_len = cache[0]["k"].shape[1]
+            kv_len = cache[0]["k"].shape[2]
             start = cache[0]["index"]
         else:
             kv_len = t
@@ -359,8 +391,8 @@ class LlamaForCausalLM(nn.Module):
 
 
 def init_cache(config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> Tuple[Cache, ...]:
-    """Preallocated per-layer KV buffers (B, Tmax, Hk, D)."""
-    shape = (batch, max_len, config.kv_heads, config.dims_per_head)
+    """Preallocated per-layer KV buffers, head-major (B, Hk, Tmax, D)."""
+    shape = (batch, config.kv_heads, max_len, config.dims_per_head)
     return tuple(
         {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype), "index": jnp.int32(0)}
         for _ in range(config.num_layers)

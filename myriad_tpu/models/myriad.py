@@ -545,6 +545,12 @@ class Myriad(BaseModel):
             arch = dataclasses.replace(arch, img_size=cfg.get("image_size"))
         if cfg.get("num_query_token") and arch_preset == "full":
             arch = dataclasses.replace(arch, num_query_token=cfg.get("num_query_token"))
+        if cfg.get("llm_weight_dtype"):
+            # int8 weight-only serving of the frozen LLM (ops/quant.py)
+            arch = dataclasses.replace(
+                arch,
+                llama=dataclasses.replace(arch.llama, weight_dtype=cfg.get("llm_weight_dtype")),
+            )
 
         model = cls(
             arch=arch,

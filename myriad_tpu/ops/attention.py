@@ -44,10 +44,17 @@ def mha(
     q: (B, H, Tq, D); k/v: (B, H, Tk, D); mask additive, broadcastable to
     (B, H, Tq, Tk); returns (B, H, Tq, D) in v's dtype.
     """
+    import os
+
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     tq = q.shape[2]
     if use_pallas is None:
-        use_pallas = _on_tpu() and tq == 1 and k.shape[2] >= 256
+        use_pallas = (
+            _on_tpu()
+            and tq == 1
+            and k.shape[2] >= 256
+            and os.environ.get("MYRIAD_DISABLE_PALLAS", "0") != "1"
+        )
     if use_pallas:
         from myriad_tpu.ops.decode_attention import decode_attention
 
