@@ -152,6 +152,10 @@ class ImageBindVision(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         cfg = self.config
+        if images.dtype == jnp.uint8:
+            from myriad_tpu.ops.preprocess import u8_normalize
+
+            images = u8_normalize(images, out_dtype=self.dtype)
         b = images.shape[0]
         dim = cfg.vision_embed_dim
         # time-collapsed video stem (see module docstring)

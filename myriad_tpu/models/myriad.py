@@ -143,6 +143,12 @@ class MyriadModule(nn.Module):
 
     # -- vision fusion (myriad.py:241-272) ----------------------------------
     def encode_img(self, image: jnp.ndarray, maps: jnp.ndarray, stage: int) -> jnp.ndarray:
+        if image.dtype == jnp.uint8:
+            # device-side preprocessing: uint8 ships 4x cheaper, the
+            # normalize fuses into the patch-embed conv (ops/preprocess.py)
+            from myriad_tpu.ops.preprocess import u8_normalize
+
+            image = u8_normalize(image, out_dtype=self.dtype)
         b = image.shape[0]
         feats = self.visual_encoder(image)
         feats = self.expert_adaptor(feats)
@@ -396,9 +402,13 @@ class Myriad(BaseModel):
 
     # -- sample prep (myriad.py:313-352) -------------------------------------
     def prepare_sample(self, samples: Dict, stage: int, training: bool = True):
-        image = np.asarray(samples["image"], np.float32)
+        image = np.asarray(samples["image"])
+        if image.dtype != np.uint8:  # uint8 normalizes on device
+            image = image.astype(np.float32)
         if training and "aug_image" in samples:
-            image = np.concatenate([image, np.asarray(samples["aug_image"], np.float32)])
+            image = np.concatenate(
+                [image, np.asarray(samples["aug_image"], image.dtype)]
+            )
         q_key = {0: "question", 1: "question2", 2: "question3"}[stage]
         questions = samples.get(q_key) or samples.get("question")
         question = questions[0] if isinstance(questions, (list, tuple)) else questions

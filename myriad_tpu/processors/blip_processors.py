@@ -166,6 +166,36 @@ class LocImageTrainProcessor(BlipImageBaseProcessor):
         )
 
 
+@registry.register_processor("raw_image")
+class RawImageProcessor(BlipImageBaseProcessor):
+    """Geometric-only host processing (resize+crop, uint8 out); CLIP
+    normalization runs on device inside the jitted encoder
+    (myriad_tpu/ops/preprocess.py) — ships 4x fewer bytes to the chip."""
+
+    def __init__(self, image_size: int = 224, crop_size: Optional[int] = None, **_unused):
+        super().__init__()
+        self.image_size = image_size
+        self.crop_size = crop_size or image_size
+
+    def __call__(self, item) -> np.ndarray:
+        if isinstance(item, dict):  # Loc-style dict samples
+            out = dict(item)
+            img = F.to_pil(np.asarray(item["img"]))
+            out["img"] = np.asarray(
+                F.center_crop(F.resize_bicubic(img, self.image_size), self.crop_size),
+                np.uint8,
+            )
+            return out
+        img = F.resize_bicubic(item, (self.image_size, self.image_size))
+        return np.asarray(img, np.uint8)
+
+    @classmethod
+    def from_config(cls, cfg=None):
+        cfg = cls._cfg(cfg)
+        return cls(image_size=cfg.get("image_size", 224),
+                   crop_size=cfg.get("crop_size"))
+
+
 def build_processor(cfg) -> BaseProcessor:
     """Instantiate a registered processor from its config node."""
     if cfg is None or cfg.get("name") is None:
