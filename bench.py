@@ -69,6 +69,9 @@ def main():
                    help="weight-only quantization of the frozen LLM (int8 "
                         "halves decode HBM traffic; 'none' for the bf16 "
                         "greedy-parity path)")
+    p.add_argument("--mode", type=str, default="eval", choices=["eval", "train"],
+                   help="eval: AQA decode step (default); train: stage-2 "
+                        "LoRA finetune step samples/sec (BASELINE config 4)")
     args = p.parse_args()
 
     import jax
@@ -100,7 +103,8 @@ def main():
           file=sys.stderr)
 
     t0 = time.time()
-    model = Myriad(arch=arch, use_ve=True, use_lora=False,
+    model = Myriad(arch=arch, use_ve=True, use_lora=(args.mode == "train"),
+                   use_grad_checkpoint=(args.mode == "train"),
                    policy=Policy.fp32() if args.dry_run else Policy.bf16_params(),
                    max_txt_len=160, end_sym="###", seed=0)
     ve = model.vision_expert
@@ -122,6 +126,9 @@ def main():
     question = "<Img><ImageHere></Img>" + QUESTION_PROMPTS[1]
     before, after = model.split_prompt(question)
     before_j, after_j = jnp.asarray(before), jnp.asarray(after)
+
+    if args.mode == "train":
+        return bench_train(args, model, images, before_j, after_j, b)
 
     llama = LlamaForCausalLM(arch.llama, model.policy.compute_dtype,
                              model.policy.param_dtype)
@@ -180,6 +187,64 @@ def main():
         "p50_per_image_s": round(p50_latency, 4),
         "batch": b,
         "profile": profile,
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(result))
+
+
+def bench_train(args, model, images, before_j, after_j, b):
+    """Stage-2 LoRA finetune step throughput (the reference envelope:
+    AD batch with aug-concat, text targets, loraadapter_simple config)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from myriad_tpu.common.optim import build_schedule, make_optimizer
+
+    tx = make_optimizer(
+        build_schedule("linear_warmup_cosine_lr", init_lr=1e-4, min_lr=0.0,
+                       max_epoch=10, iters_per_epoch=1600, warmup_steps=0),
+        weight_decay=0.05,
+    )
+    opt_state = tx.init(model.trainable)
+    rng = np.random.default_rng(0)
+    maps = jnp.asarray(rng.random((b, model.arch.map_size, model.arch.map_size, 1)),
+                       jnp.float32)
+    text_ids = jnp.asarray(
+        rng.integers(3, min(250, model.arch.llama.vocab_size - 1), size=(b, 24)),
+        jnp.int32)
+    text_mask = jnp.ones((b, 24), jnp.int32)
+    arrays = {"image": images, "maps": maps, "before": before_j, "after": after_j,
+              "text_ids": text_ids, "text_mask": text_mask}
+
+    @jax.jit
+    def step(trainable, opt_state, frozen, arrays):
+        loss, grads = jax.value_and_grad(
+            lambda tr: model.pure_loss(tr, frozen, arrays, (1,))
+        )(trainable)
+        updates, new_opt = tx.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), new_opt, loss
+
+    t0 = time.time()
+    trainable, opt_state, loss = step(model.trainable, opt_state, model.frozen, arrays)
+    float(loss)
+    compile_s = time.time() - t0
+    print(f"[bench] train compile {compile_s:.1f}s loss={float(loss):.3f}",
+          file=sys.stderr)
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        trainable, opt_state, loss = step(trainable, opt_state, model.frozen, arrays)
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    result = {
+        "metric": "samples/sec/chip (stage-2 LoRA finetune step; llama depth "
+                  f"{model.arch.llama.num_layers}, weights {model.arch.llama.weight_dtype})",
+        "value": round(b / med, 4),
+        "unit": "samples/sec",
+        "vs_baseline": round((b / med) / 2.0, 3),  # est. 2 samples/s on 2xGPU ref
+        "batch": b,
         "compile_s": round(compile_s, 1),
     }
     print(json.dumps(result))

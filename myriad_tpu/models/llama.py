@@ -55,6 +55,9 @@ class LlamaConfig:
     # frozen-projection storage: "bf16" (plain Dense) or "int8"
     # (weight-only quant — halves decode HBM traffic, ops/quant.py)
     weight_dtype: str = "bf16"
+    # rematerialize layer activations in the backward pass
+    # (the reference's gradient-checkpointing flag, eva_vit.py:336-337 style)
+    remat: bool = False
 
     @property
     def kv_heads(self) -> int:
@@ -286,8 +289,11 @@ class LlamaModel(nn.Module):
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
             param_dtype=self.param_dtype, name="embed_tokens",
         )
+        layer_cls = (
+            nn.remat(LlamaLayer, static_argnums=(5,)) if cfg.remat else LlamaLayer
+        )
         self.layers = [
-            LlamaLayer(cfg, self.dtype, self.param_dtype, name=f"layers_{i}")
+            layer_cls(cfg, self.dtype, self.param_dtype, name=f"layers_{i}")
             for i in range(cfg.num_layers)
         ]
         self.norm = RMSNorm(cfg.rms_norm_eps, self.param_dtype, name="norm")

@@ -252,6 +252,10 @@ class Myriad(BaseModel):
             self.arch = dataclasses.replace(
                 self.arch, llama=dataclasses.replace(self.arch.llama, use_lora=True)
             )
+        if use_grad_checkpoint:
+            self.arch = dataclasses.replace(
+                self.arch, llama=dataclasses.replace(self.arch.llama, remat=True)
+            )
         self.freeze_vit = freeze_vit
         self.freeze_qformer = freeze_qformer
         self.freeze_llama = freeze_llama
