@@ -107,6 +107,64 @@ class VEInstructorV2(nn.Module):
         return x.reshape(b, self.num_tokens, self.out_dim)
 
 
+class AttentionAdaptor(nn.Module):
+    """Conv-residual adaptor over the 16x16 patch grid, cls token passed
+    through (reference networks.py:41-68)."""
+
+    dims: int = 1408
+    grid: int = 16
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, 1+grid^2, dims) -> same shape."""
+        b = x.shape[0]
+        cls_tok = x[:, 0:1]
+        patches = x[:, 1:].reshape(b, self.grid, self.grid, self.dims)
+        h = nn.Conv(self.dims, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv1")(patches.astype(self.dtype))
+        h = nn.Conv(self.dims, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv2")(h)
+        h = h + patches.astype(h.dtype)
+        return jnp.concatenate([cls_tok.astype(h.dtype),
+                                h.reshape(b, self.grid * self.grid, self.dims)], axis=1)
+
+
+class VETokenizerFea(nn.Module):
+    """Strided-conv variant of VETokenizer (reference networks.py:313-355):
+    same 9+9 token output from a smaller strided pyramid."""
+
+    dim_in: int = 1
+    llm_dim: int = 4096
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, maps: jnp.ndarray) -> jnp.ndarray:
+        b = maps.shape[0]
+        x = maps.astype(self.dtype)
+        specs = [  # (width_mult, kernel, stride)
+            (4, 3, 2), (16, 1, 1), (64, 1, 1), (256, 3, 2), (1024, 1, 1),
+        ]
+        for i, (m, k, s) in enumerate(specs):
+            x = nn.Conv(self.dim_in * m, (k, k), strides=(s, s), padding="VALID",
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=f"conv_{i}")(x)
+            x = nn.relu(x)
+        x = nn.Conv(self.llm_dim, (1, 1), padding=0, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="head")(x)
+        # expect a 3x3 grid like the pooled variant; pool down if larger
+        g = x.shape[1]
+        if g > 3:
+            x = nn.avg_pool(x, (g // 3, g // 3), strides=(g // 3, g // 3))
+        img_prompts = x[:, :3, :3].reshape(b, 9, self.llm_dim)
+        base = self.param("base_prompts", nn.initializers.normal(1.0),
+                          (9, self.llm_dim), self.param_dtype)
+        base = jnp.broadcast_to(base.astype(img_prompts.dtype), (b, 9, self.llm_dim))
+        return jnp.concatenate([base, img_prompts], axis=1)
+
+
 class VETokenizer(nn.Module):
     """Anomaly map -> 9 map tokens x 4096 + 9 learned base prompts = 18
     LLM-level expert tokens (networks.py:156-197)."""

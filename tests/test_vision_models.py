@@ -113,3 +113,46 @@ def test_query_tokens_init():
     q = init_query_tokens(jax.random.PRNGKey(0))
     assert q.shape == (1, 32, 768)
     assert 0.01 < float(jnp.std(q)) < 0.03
+
+
+def test_clip_vit_l_shapes():
+    from myriad_tpu.models.clip_vit import ClipViT
+
+    vit = ClipViT(img_size=28, patch_size=14, width=32, layers=2, heads=4, **FP32)
+    x = jnp.ones((2, 28, 28, 3))
+    params = vit.init(jax.random.PRNGKey(0), x)
+    out = vit.apply(params, x)
+    assert out.shape == (2, 5, 32)
+    # uint8 path works too
+    out_u8 = vit.apply(params, jnp.zeros((2, 28, 28, 3), jnp.uint8))
+    assert out_u8.shape == (2, 5, 32)
+
+
+def test_attention_adaptor_and_fea_tokenizer():
+    from myriad_tpu.models.networks import AttentionAdaptor, VETokenizerFea
+
+    m = AttentionAdaptor(dims=16, grid=4, **FP32)
+    x = jnp.ones((2, 17, 16))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 17, 16)
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(x[:, 0]))
+
+    t = VETokenizerFea(llm_dim=64, **FP32)
+    maps = jnp.ones((2, 224, 224, 1))
+    tp = t.init(jax.random.PRNGKey(0), maps)
+    tok = t.apply(tp, maps)
+    assert tok.shape == (2, 18, 64)
+
+
+def test_randaugment_bank():
+    import numpy as _np
+    from myriad_tpu.processors.randaugment import OP_BANK, RandomAugment
+
+    img = _np.random.default_rng(0).integers(0, 255, (32, 32, 3), dtype=_np.uint8)
+    for name, op in OP_BANK.items():
+        out = _np.asarray(op(img, 5))
+        assert out.shape[:2] == (32, 32), name
+    aug = RandomAugment(N=3, M=7)
+    out = aug(img)
+    assert out.shape == (32, 32, 3)
