@@ -72,6 +72,8 @@ def main():
     p.add_argument("--mode", type=str, default="eval", choices=["eval", "train"],
                    help="eval: AQA decode step (default); train: stage-2 "
                         "LoRA finetune step samples/sec (BASELINE config 4)")
+    p.add_argument("--breakdown", action="store_true",
+                   help="additionally time VE-maps / prefill / decode phases")
     args = p.parse_args()
 
     import jax
@@ -176,6 +178,41 @@ def main():
     med = float(np.median(times))
     images_per_sec = b / med
     p50_latency = med / b
+
+    if args.breakdown:
+        jx = __import__("jax")
+
+        @jx.jit
+        def maps_only(ve_params, text_feats, images):
+            return ve_module.apply(ve_params, images, text_feats,
+                                   method=AnomalyExpertModule.zero_shot)[0]
+
+        @jx.jit
+        def prefill_only(params, images, maps):
+            return model.module.apply(
+                {"params": params}, images, maps, before_j, after_j, 1,
+                method=MyriadModule.prefill_embeds,
+            )
+
+        def timeit(fn, *a):
+            np.asarray(fn(*a))  # compile
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                r = fn(*a)
+            np.asarray(r)
+            return (time.perf_counter() - t0) / args.iters
+
+        t_maps = timeit(maps_only, ve_params, text_feats, images)
+        maps = maps_only(ve_params, text_feats, images)
+        t_prefill = timeit(prefill_only, params, images, maps)
+        print(json.dumps({
+            "breakdown_s": {
+                "ve_maps": round(t_maps, 4),
+                "encode+prefill": round(t_prefill, 4),
+                "decode+rest": round(med - t_maps - t_prefill, 4),
+                "total": round(med, 4),
+            }
+        }), file=sys.stderr)
 
     result = {
         "metric": "images/sec/chip (MVTec-AD AQA eval step: VE maps + encode_img "

@@ -89,10 +89,19 @@ def int8_matmul(
         # fused dequant-dot handles it without VMEM-pinning issues
         use_pallas = (on_tpu and m <= 256) or (interpret is not None and interpret)
     if not use_pallas:
-        # XLA fallback: dequantize inline (bandwidth saving not guaranteed)
-        y = jnp.dot(x2, w8.astype(x.dtype), preferred_element_type=jnp.float32)
-        y = (y * scale.astype(jnp.float32)).astype(out_dtype)
-        return y.reshape(*lead, f)
+        # large-M path (prefill): dynamic per-row activation quant + native
+        # int8 x int8 MXU matmul (W8A8).  Dequantizing weights to bf16 here
+        # would write+read a full bf16 weight copy per matmul (measured 2x
+        # slower prefill); int8 activations keep traffic at the int8 size
+        # and double MXU throughput.
+        xf = x2.astype(jnp.float32)
+        x_amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
+        x8 = jnp.clip(jnp.round(xf * (127.0 / x_amax)), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        y = acc * (x_amax / 127.0) * scale.astype(jnp.float32)
+        return y.astype(out_dtype).reshape(*lead, f)
 
     if interpret is None:
         interpret = not on_tpu

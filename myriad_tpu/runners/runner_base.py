@@ -283,17 +283,51 @@ class RunnerBase:
         with open(os.path.join(self.output_dir, "log.txt"), "a") as f:
             f.write(json.dumps(self.config.to_dict(), default=str) + "\n")
 
+    # -- validation (runner_base.py:434-494) ------------------------------------
+    @property
+    def valid_splits(self):
+        return list(self.run_cfg.get("valid_splits", []))
+
+    def eval_epoch(self, split_name: str, epoch) -> Optional[Dict]:
+        loader = self.dataloaders.get(split_name)
+        if loader is None:
+            logging.warning("no dataloader for split %s", split_name)
+            return None
+        results = self.task.evaluation(self.model, loader)
+        if results is None:
+            return None
+        return self.task.after_evaluation(
+            val_result=results, split_name=split_name, epoch=epoch
+        )
+
     # -- main loop (runner_base.py:374-432) ------------------------------------
     def train(self) -> None:
         start = time.time()
         self.log_config()
+        best_agg, best_epoch = -1.0, 0
         loader = self.train_loader
+        evaluate_only = bool(self.run_cfg.get("evaluate", False))
         for epoch in range(self.start_epoch, self.max_epoch):
-            stats = self.task.train_epoch(
-                epoch, self, loader, self.iters_per_epoch, self.log_freq
-            )
-            self.log_stats(stats, "train")
-            self._save_checkpoint(epoch)
+            if not evaluate_only:
+                stats = self.task.train_epoch(
+                    epoch, self, loader, self.iters_per_epoch, self.log_freq
+                )
+                self.log_stats(stats, "train")
+
+            for split in self.valid_splits:
+                logging.info("Evaluating on %s", split)
+                metrics = self.eval_epoch(split, epoch)
+                if metrics is not None and dist.is_main_process():
+                    agg = float(metrics.get("agg_metrics", -1.0))
+                    if split == self.valid_splits[0] and agg > best_agg:
+                        best_agg, best_epoch = agg, epoch
+                        self._save_checkpoint(epoch, is_best=True)
+                    self.log_stats(metrics, split)
+
+            if not evaluate_only:
+                self._save_checkpoint(epoch)
             dist.barrier(f"epoch_{epoch}")
+            if evaluate_only:
+                break
         total = time.time() - start
         logging.info("Training time %s", time.strftime("%H:%M:%S", time.gmtime(total)))

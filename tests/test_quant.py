@@ -31,12 +31,15 @@ def test_int8_matmul_matches_dequant(rng):
     w = jnp.asarray(rng.normal(size=(96, 72)), jnp.float32)
     w8, scale = quantize_per_channel(w)
     ref = x @ (w8.astype(jnp.float32) * scale)
-    # pallas (interpret) path
+    # pallas (interpret) path: weight-only quant, tight match
     out = int8_matmul(x, w8, scale, interpret=True, use_pallas=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
-    # xla fallback path
+    # xla fallback is W8A8 (activations dynamically quantized too):
+    # absolute error bounded by the activation grid, ~2% of output scale
     out2 = int8_matmul(x, w8, scale, use_pallas=False)
-    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=2e-2, atol=2e-2)
+    out_scale = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=0.03 * out_scale)
 
 
 def test_int8_llama_close_to_bf16(rng):
