@@ -182,8 +182,15 @@ def main():
     if args.breakdown:
         jx = __import__("jax")
 
+        # scalar outputs: returning full tensors would time the host
+        # transfer over the TPU tunnel, not the compute
         @jx.jit
         def maps_only(ve_params, text_feats, images):
+            return ve_module.apply(ve_params, images, text_feats,
+                                   method=AnomalyExpertModule.zero_shot)[0].sum()
+
+        @jx.jit
+        def maps_full(ve_params, text_feats, images):
             return ve_module.apply(ve_params, images, text_feats,
                                    method=AnomalyExpertModule.zero_shot)[0]
 
@@ -192,7 +199,7 @@ def main():
             return model.module.apply(
                 {"params": params}, images, maps, before_j, after_j, 1,
                 method=MyriadModule.prefill_embeds,
-            )
+            ).sum()
 
         def timeit(fn, *a):
             np.asarray(fn(*a))  # compile
@@ -203,7 +210,7 @@ def main():
             return (time.perf_counter() - t0) / args.iters
 
         t_maps = timeit(maps_only, ve_params, text_feats, images)
-        maps = maps_only(ve_params, text_feats, images)
+        maps = maps_full(ve_params, text_feats, images)
         t_prefill = timeit(prefill_only, params, images, maps)
         print(json.dumps({
             "breakdown_s": {

@@ -69,6 +69,16 @@ class Chat:
         """
         arr = np.asarray(self.vis_processor({"img": np.asarray(image)})["img"],
                          np.float32)[None]
+        ve = self.model.vision_expert
+        if ve is not None:
+            # the generic 'object' prompt class (reference prompt_sentences
+            # include it, adrefexpert_v2.py:40)
+            if "object" not in ve.class_index:
+                ve.class_names = list(ve.class_names) + ["object"]
+                ve.class_index[ve.class_names[-1]] = len(ve.class_names) - 1
+                ve._text_feats = None
+            if ve._text_feats is None:
+                ve.build_text_features()
         samples: Dict = {
             "image": arr,
             "scene": ["object"],

@@ -430,7 +430,11 @@ class Myriad(BaseModel):
         if self.vision_expert is not None:
             img_dev = jnp.asarray(image)
             maps, _ = self.vision_expert(img_dev, scenes)
-            one_maps, _ = self.vision_expert(img_dev, scenes, one_shot=True)
+            if self.vision_expert._ref_bank is not None:
+                one_maps, _ = self.vision_expert(img_dev, scenes, one_shot=True)
+            else:
+                # no reference bank configured (e.g. chat): reuse zero-shot
+                one_maps = maps
         else:
             shape = (image.shape[0], self.arch.map_size, self.arch.map_size, 1)
             maps = jnp.zeros(shape, jnp.float32)
