@@ -190,9 +190,21 @@ def main():
         for testid, samples in enumerate(dataloader):
             if testid < args.start:
                 continue
+            # pad ragged final batches to the bucket size: a new batch shape
+            # would recompile the fused decode program (minutes on TPU)
+            real_bs = len(samples["image_id"])
+            if real_bs < args.bs:
+                pad = args.bs - real_bs
+                for k, v in list(samples.items()):
+                    if isinstance(v, np.ndarray):
+                        samples[k] = np.concatenate(
+                            [v, np.repeat(v[-1:], pad, axis=0)]
+                        )
+                    elif isinstance(v, list):
+                        samples[k] = v + [v[-1]] * pad
             t1 = time.time()
             outputs = model.generate(samples, **generate_kwargs)
-            token_ids = np.asarray(outputs["token_ids"])
+            token_ids = np.asarray(outputs["token_ids"])[:real_bs]
             t2 = time.time()
             all_time += t2 - t1
             n_batches += 1

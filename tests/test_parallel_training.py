@@ -89,3 +89,37 @@ def test_runner_with_mesh(tmp_path):
     with open(os.path.join(runner.output_dir, "log.txt")) as f:
         lines = [json.loads(l) for l in f]
     assert np.isfinite(float(lines[-1]["train_loss"]))
+
+
+def test_sharded_generation_matches_unsharded():
+    """Serving path under GSPMD: params sharded over ('data','model'),
+    greedy tokens identical to the single-device run."""
+    import jax
+    import jax.numpy as jnp
+
+    from myriad_tpu.models.layers import Policy
+    from myriad_tpu.models.myriad import Myriad, MyriadArch
+    from myriad_tpu.parallel import mesh as mesh_lib
+    from myriad_tpu.parallel import partition
+
+    model = Myriad(arch=MyriadArch.tiny(), use_ve=False, policy=Policy.fp32(),
+                   max_txt_len=16, end_sym="###", seed=0)
+    s = {
+        "image": np.zeros((4, 28, 28, 3), np.float32),
+        "scene": ["bottle"] * 4,
+        "question": ["<Img><ImageHere></Img>find defects"] * 4,
+        "question2": ["<Img><ImageHere></Img>find defects"] * 4,
+        "question3": ["<Img><ImageHere></Img>find defects"] * 4,
+        "img_path": ["x"] * 4,
+    }
+    ref = np.asarray(model.generate(s, max_new_tokens=5)["token_ids"])
+
+    mesh = mesh_lib.make_mesh(n_model=2)
+    rules = partition.myriad_rules()
+    model.trainable = jax.device_put(
+        model.trainable, partition.tree_shardings(model.trainable, mesh, rules))
+    model.frozen = jax.device_put(
+        model.frozen, partition.tree_shardings(model.frozen, mesh, rules))
+    model._jit_cache.clear()
+    sharded = np.asarray(model.generate(s, max_new_tokens=5)["token_ids"])
+    np.testing.assert_array_equal(sharded, ref)
