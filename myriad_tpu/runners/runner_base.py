@@ -176,6 +176,14 @@ class RunnerBase:
                         drop_last=(split == "train"), num_workers=self.num_workers,
                         sampler=sampler, seed=self.seed,
                     )
+                    if split == "train" and bool(self.run_cfg.get("prefetch", True)):
+                        from myriad_tpu.datasets.loaders import PrefetchLoader
+
+                        # identity device_put: pipeline host work (NSA, jpeg,
+                        # collate) one batch ahead of the train step; device
+                        # placement happens in prepare_train_arrays where
+                        # shardings are known
+                        dl = PrefetchLoader(dl, device_put=lambda x: x)
                     loaders.setdefault(split, []).append(
                         IterLoader(dl) if split == "train" else dl
                     )
