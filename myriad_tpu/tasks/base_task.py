@@ -56,6 +56,8 @@ class BaseTask:
         log_freq: int = 50,
     ) -> Dict[str, str]:
         """Iteration-budgeted inner loop (base_task.py:156-303)."""
+        from myriad_tpu.common.profiling import StepTimer, device_memory_stats
+
         metric_logger = MetricLogger(delimiter="  ")
         metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
         metric_logger.add_meter("loss", SmoothedValue(window_size=1, fmt="{value:.4f}"))
@@ -63,11 +65,19 @@ class BaseTask:
         logging.info("Start training epoch %d, %d iters per inner epoch.",
                      epoch, iters_per_epoch)
         rng = np.random.default_rng(runner.seed + epoch)
+        timer = StepTimer()
         for i in metric_logger.log_every(range(iters_per_epoch), log_freq, header):
-            samples = next(data_loader)
-            loss, lr = runner.train_iteration(samples, rng)
+            with timer.phase("data"):
+                samples = next(data_loader)
+            with timer.phase("step"):
+                loss, lr = runner.train_iteration(samples, rng)
             metric_logger.update(loss=float(loss), lr=float(lr))
         metric_logger.synchronize_between_processes()
+        timer.log(f"epoch {epoch} phase timings")
+        mem = device_memory_stats()
+        if mem:
+            logging.info("device memory: %.0f MiB peak",
+                         mem.get("peak_bytes_in_use_mib", 0))
         logging.info("Averaged stats: %s", metric_logger.global_avg())
         return {
             k: f"{meter.global_avg:.3f}" for k, meter in metric_logger.meters.items()
