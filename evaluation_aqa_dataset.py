@@ -144,7 +144,8 @@ def device_mem_mb() -> float:
 def main():
     args = parse_args()
     cfg = Config(args)
-    dist.configure_platform(cfg.run_cfg.get("device") if cfg.config.get("run") else None)
+    run = cfg.run_cfg if cfg.config.get("run") else {}
+    dist.configure_platform(run.get("device"), run.get("host_devices"))
     setup_logger()
 
     model_config = cfg.model_cfg

@@ -21,18 +21,21 @@ import numpy as np
 _initialized = False
 
 
-def configure_platform(device: Optional[str]) -> None:
+def configure_platform(device: Optional[str], host_devices: Optional[int] = None) -> None:
     """Select the JAX platform from the run config's ``device`` knob.
 
     The sandbox may pin a TPU platform via an early plugin that overrides
     the JAX_PLATFORMS env var, so 'cpu' must be forced through jax.config
-    (before any backend initialisation).
+    (before any backend initialisation).  ``host_devices`` creates a
+    virtual N-device CPU mesh (multi-chip emulation for tests/dev).
     """
     if not device:
         return
     device = str(device).lower()
     if device in ("cpu",):
         jax.config.update("jax_platforms", "cpu")
+        if host_devices:
+            jax.config.update("jax_num_cpu_devices", int(host_devices))
     # 'tpu'/'cuda' keep the environment default
 
 

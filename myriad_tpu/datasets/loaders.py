@@ -146,7 +146,13 @@ class IterLoader:
             if hasattr(self._dataloader, "set_epoch"):
                 self._dataloader.set_epoch(self._epoch)
             self._iter = iter(self._dataloader)
-            return next(self._iter)
+            try:
+                return next(self._iter)
+            except StopIteration:
+                raise RuntimeError(
+                    "IterLoader: underlying dataloader yields no batches — "
+                    "dataset smaller than batch_size with drop_last?"
+                ) from None
 
     def __iter__(self):
         return self

@@ -51,7 +51,7 @@ def main():
     args = parse_args()
     cfg = Config(args)
 
-    dist.configure_platform(cfg.run_cfg.get("device"))
+    dist.configure_platform(cfg.run_cfg.get("device"), cfg.run_cfg.get("host_devices"))
     dist.init_distributed_mode(cfg.run_cfg)
     setup_seeds(cfg)
     setup_logger()
