@@ -53,7 +53,18 @@ class BaseDatasetBuilder:
 
     def build_datasets(self) -> Dict:
         logging.info("Building datasets for %s", type(self).__name__)
-        return self.build()
+        datasets = self.build()
+        # stage-1 mixed-ratio sampling weight (reference
+        # minigpt4_stage1_pretrain.yaml sample_ratio; consumed by the
+        # runner's MultiIterLoader)
+        ratio = self.config.get("sample_ratio")
+        if ratio is not None:
+            for ds in datasets.values():
+                try:
+                    ds.sample_ratio = float(ratio)
+                except AttributeError:
+                    pass
+        return datasets
 
     def build(self) -> Dict:  # pragma: no cover - overridden
         raise NotImplementedError

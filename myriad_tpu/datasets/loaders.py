@@ -161,6 +161,31 @@ class IterLoader:
         return len(self._dataloader)
 
 
+class IterableBatcher:
+    """Batch an (infinite) sample iterator into collated dicts — the loader
+    for webdataset-style streams (TarShardIterableDataset)."""
+
+    def __init__(self, dataset, batch_size: int, collate_fn: Optional[Callable] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn or _default_collate
+        self._iter = iter(dataset)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        batch = []
+        while len(batch) < self.batch_size:
+            try:
+                batch.append(next(self._iter))
+            except StopIteration:
+                self._iter = iter(self.dataset)
+                if not batch:
+                    continue
+        return self.collate_fn(batch)
+
+
 class MultiIterLoader:
     """Sample among loaders with given ratios (dataloader_utils.py:15-43)."""
 

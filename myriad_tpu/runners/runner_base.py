@@ -67,6 +67,7 @@ class RunnerBase:
         self._tx = None
         self._opt_state = None
         self._dataloaders: Optional[Dict] = None
+        self._train_ratios: list = []
         self._step_cache: Dict = {}
         self.global_step = 0
         self.start_epoch = 0
@@ -156,14 +157,23 @@ class RunnerBase:
     def dataloaders(self) -> Dict:
         if self._dataloaders is None:
             loaders: Dict[str, Any] = {}
+            self._train_ratios = []
             for name, splits in self.datasets.items():
                 for split, dataset in splits.items():
                     bs = self.batch_size_train
                     # aug-image concat doubles AD batches (runner_base.py:546-549)
                     if getattr(dataset, "DatasetName", "") == "AnomalyDetection":
                         bs = max(bs // 2, 1)
+                    if split == "train":
+                        self._train_ratios.append(
+                            float(getattr(dataset, "sample_ratio", 1.0) or 1.0)
+                        )
                     if not hasattr(dataset, "__len__"):
-                        loaders.setdefault(split, []).append(iter(dataset))
+                        from myriad_tpu.datasets.loaders import IterableBatcher
+
+                        loaders.setdefault(split, []).append(
+                            IterableBatcher(dataset, bs)
+                        )
                         continue
                     sampler = None
                     if dist.get_world_size() > 1:
@@ -198,7 +208,8 @@ class RunnerBase:
         if isinstance(loader, list):
             from myriad_tpu.datasets.loaders import MultiIterLoader
 
-            return MultiIterLoader(loader, seed=self.seed)
+            # sample_ratio mixing across datasets (stage-1: laion 115 / cc_sbu 14)
+            return MultiIterLoader(loader, ratios=self._train_ratios, seed=self.seed)
         return loader
 
     # -- the jitted step ---------------------------------------------------
