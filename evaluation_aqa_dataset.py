@@ -60,6 +60,9 @@ def parse_args():
                    help="deterministic argmax decode (default matches the "
                         "reference's top_p=0.01 sampling, which is ≈greedy)")
     p.add_argument("--max_new_tokens", type=int, default=90)
+    p.add_argument("--bench", action="store_true",
+                   help="print a JSON throughput line (images/sec, excluding "
+                        "the first compile batch) after the run")
     p.add_argument("--save_path", type=str, default="")
     p.add_argument("--options", nargs="+")
     return p.parse_args()
@@ -187,6 +190,7 @@ def main():
 
     all_time = 0.0
     n_batches = 0
+    batch_times = []  # (seconds, real_images) — [0] includes XLA compile
     with open(save_path, "w") as writer:
         for testid, samples in enumerate(dataloader):
             if testid < args.start:
@@ -209,6 +213,7 @@ def main():
             t2 = time.time()
             all_time += t2 - t1
             n_batches += 1
+            batch_times.append((t2 - t1, real_bs))
 
             token_ids = np.clip(token_ids, 1, 40000)
             output_text = model.llama_tokenizer.batch_decode(token_ids)
@@ -233,6 +238,21 @@ def main():
 
     print("Device Memory:", device_mem_mb())
     print("Mean Time: ", all_time / max(n_batches, 1))
+    if args.bench and len(batch_times) > 1:
+        # steady-state throughput: the first batch pays the one-time XLA
+        # compile, so it is excluded (same protocol as bench.py warmup)
+        steady = batch_times[1:]
+        secs = sum(t for t, _ in steady)
+        imgs = sum(n for _, n in steady)
+        print(json.dumps({
+            "metric": "images/sec (AQA eval harness, fused generate, "
+                      f"{args.max_new_tokens}-token decode)",
+            "value": round(imgs / max(secs, 1e-9), 4),
+            "unit": "images/sec",
+            "batches": len(steady),
+            "batch_size": args.bs,
+            "compile_batch_s": round(batch_times[0][0], 2),
+        }))
 
 
 if __name__ == "__main__":

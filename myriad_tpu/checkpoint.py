@@ -23,32 +23,64 @@ import numpy as np
 # ---------------------------------------------------------------------------
 def merge_trees(base: Dict, incoming: Dict) -> Tuple[Dict, int, int]:
     """strict=False merge: leaves present in both are taken from incoming
-    (shape-checked); unknown incoming keys are counted and skipped."""
-    loaded = 0
-    skipped = 0
+    (shape-checked, cast to the base leaf's dtype so fp32 npz weights don't
+    silently double a bf16 model's memory); unknown incoming keys are
+    counted and skipped."""
+    merged, loaded, skipped = merge_with_paths(base, incoming)
+    return merged, len(loaded), len(skipped)
 
-    def rec(b, inc):
-        nonlocal loaded, skipped
+
+def merge_with_paths(
+    base: Dict, incoming: Dict, prefix: str = ""
+) -> Tuple[Dict, list, list]:
+    """Like merge_trees but returns the full 'a/b/c' path lists:
+    (merged, loaded_paths, skipped_paths).  The accounting backbone of the
+    pretrained-weight bootstrap chain (reference blip2.py:91-110 logs the
+    strict=False missing/unexpected keys; here every leaf is tracked)."""
+    loaded: list = []
+    skipped: list = []
+
+    def cast_like(b_leaf, v):
+        v = np.asarray(v)
+        want = getattr(b_leaf, "dtype", None)
+        if want is not None and v.dtype != want:
+            v = v.astype(want)
+        return v
+
+    def rec(b, inc, path):
         if not isinstance(b, dict) or not isinstance(inc, dict):
             return inc
         out = dict(b)
         for k, v in inc.items():
+            p = f"{path}/{k}" if path else str(k)
             if k in b:
                 if isinstance(v, dict) and isinstance(b[k], dict):
-                    out[k] = rec(b[k], v)
+                    out[k] = rec(b[k], v, p)
                 else:
                     if tuple(np.shape(b[k])) != tuple(np.shape(v)):
                         logging.warning("shape mismatch at %s: %s vs %s — skipped",
-                                        k, np.shape(b[k]), np.shape(v))
-                        skipped += 1
+                                        p, np.shape(b[k]), np.shape(v))
+                        skipped.append(p)
                     else:
-                        out[k] = v
-                        loaded += 1
+                        out[k] = cast_like(b[k], v)
+                        loaded.append(p)
             else:
-                skipped += 1
+                skipped.append(p)
         return out
 
-    return rec(base, incoming), loaded, skipped
+    return rec(base, incoming, prefix), loaded, skipped
+
+
+def tree_paths(tree: Dict, prefix: str = "") -> list:
+    """All leaf paths 'a/b/c' of a nested dict."""
+    out = []
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.extend(tree_paths(v, p))
+        else:
+            out.append(p)
+    return out
 
 
 def split_by_predicate(tree: Dict, predicate) -> Tuple[Dict, Dict]:

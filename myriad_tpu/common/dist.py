@@ -12,7 +12,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

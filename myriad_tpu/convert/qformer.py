@@ -64,4 +64,16 @@ def convert_qformer_state_dict(
             },
         }
         p[f"layer_{i}"] = layer
+    # the BLIP-2 checkpoint carries the learned query embeddings and the
+    # ViT-adapter LayerNorm alongside the BERT weights (blip2.py:58-62 and
+    # the whole-model strict=False load, blip2.py:104); surface both so the
+    # bootstrap chain can seed Myriad's `query_tokens` / `ln_vision`
+    if "query_tokens" in state_dict:
+        p["query_tokens"] = _t(state_dict["query_tokens"])
+    if "ln_vision.weight" in state_dict:
+        # LayerNormFp32 wraps an inner nn.LayerNorm named 'ln'
+        p["ln_vision"] = {"ln": {
+            "scale": _t(state_dict["ln_vision.weight"]),
+            "bias": _t(state_dict["ln_vision.bias"]),
+        }}
     return {"params": p}

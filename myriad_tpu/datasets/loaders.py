@@ -176,13 +176,18 @@ class IterableBatcher:
 
     def __next__(self):
         batch = []
+        restarted = False
         while len(batch) < self.batch_size:
             try:
                 batch.append(next(self._iter))
+                restarted = False
             except StopIteration:
+                if restarted and not batch:
+                    raise RuntimeError(
+                        "IterableBatcher: underlying stream yields no samples"
+                    ) from None
                 self._iter = iter(self.dataset)
-                if not batch:
-                    continue
+                restarted = True
         return self.collate_fn(batch)
 
 
@@ -223,6 +228,7 @@ class PrefetchLoader:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         stop = object()
+        error: list = []
 
         def worker():
             try:
@@ -232,6 +238,8 @@ class PrefetchLoader:
                         for k, v in batch.items()
                     }
                     q.put(moved)
+            except BaseException as e:  # propagate to the consumer thread
+                error.append(e)
             finally:
                 q.put(stop)
 
@@ -240,5 +248,7 @@ class PrefetchLoader:
         while True:
             item = q.get()
             if item is stop:
+                if error:
+                    raise error[0]
                 break
             yield item

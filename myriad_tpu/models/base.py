@@ -54,6 +54,37 @@ class BaseModel:
             return f"{total / 1e6:.1f}M"
         return f"{total / 1e3:.1f}K"
 
+    # -- pretrained frozen towers (bootstrap chain, SURVEY.md §5.4) -------------
+    def load_frozen(self, tree_or_path, prefix: str = "") -> Tuple[list, list]:
+        """Merge a converted param tree into the **frozen** subtree.
+
+        The reference builds its model FROM pretrained towers (EVA download
+        eva_vit.py:429-436, Q-Former blip2.py:91-110, Vicuna myriad.py:194-197,
+        llama_proj myriad.py:210-219); the functional equivalent is merging
+        converted npz trees into ``self.frozen``.  ``prefix`` roots the
+        incoming tree at a frozen submodule (e.g. 'visual_encoder').
+
+        Returns (loaded_paths, skipped_paths); unknown/mismatched leaves are
+        skipped with a warning, never fatal (strict=False semantics).
+        """
+        from myriad_tpu import checkpoint as ckpt_lib
+
+        tree = (
+            ckpt_lib.load_params(tree_or_path)
+            if isinstance(tree_or_path, str)
+            else tree_or_path
+        )
+        if prefix:
+            for part in reversed(prefix.split("/")):
+                tree = {part: tree}
+        merged, loaded, skipped = ckpt_lib.merge_with_paths(self.frozen, tree)
+        self.frozen = merged
+        logging.info(
+            "load_frozen%s: %d leaves loaded, %d skipped",
+            f" [{prefix}]" if prefix else "", len(loaded), len(skipped),
+        )
+        return loaded, skipped
+
     # -- checkpoint load (url/file, non-strict) ---------------------------------
     def load_checkpoint(self, url_or_filename: str) -> None:
         """Merge a saved trainable-param tree into this model (strict=False

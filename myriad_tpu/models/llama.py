@@ -55,6 +55,10 @@ class LlamaConfig:
     # frozen-projection storage: "bf16" (plain Dense) or "int8"
     # (weight-only quant — halves decode HBM traffic, ops/quant.py)
     weight_dtype: str = "bf16"
+    # KV-cache storage: "bf16" or "int8" (per-token-per-head symmetric
+    # quant — halves cache HBM traffic AND cache memory, the lever that
+    # lets full-depth Vicuna serve at batch 16 on one v5e chip)
+    kv_cache_dtype: str = "bf16"
     # rematerialize layer activations in the backward pass
     # (the reference's gradient-checkpointing flag, eva_vit.py:336-337 style)
     remat: bool = False
@@ -217,10 +221,25 @@ class LlamaAttention(nn.Module):
         if cache is not None:
             # preallocated (B, Hk, Tmax, D) buffers; write at cache["index"]
             idx = cache["index"]
-            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0))
-            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, idx, 0))
-            new_cache = {"k": ck, "v": cv, "index": idx + t}
-            k_all, v_all = ck, cv
+            if "k_scale" in cache:
+                # int8 KV: symmetric per-(batch, head, position) quant — the
+                # new slice is quantized at write, the cache dequantizes at
+                # read (XLA fuses the convert*scale into the attention dots)
+                k8, ks = quantize_kv(k)
+                v8, vs = quantize_kv(v)
+                ck = jax.lax.dynamic_update_slice(cache["k"], k8, (0, 0, idx, 0))
+                cv = jax.lax.dynamic_update_slice(cache["v"], v8, (0, 0, idx, 0))
+                cks = jax.lax.dynamic_update_slice(cache["k_scale"], ks, (0, 0, idx, 0))
+                cvs = jax.lax.dynamic_update_slice(cache["v_scale"], vs, (0, 0, idx, 0))
+                new_cache = {"k": ck, "v": cv, "k_scale": cks, "v_scale": cvs,
+                             "index": idx + t}
+                k_all = ck.astype(self.dtype) * cks.astype(self.dtype)
+                v_all = cv.astype(self.dtype) * cvs.astype(self.dtype)
+            else:
+                ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0))
+                cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, idx, 0))
+                new_cache = {"k": ck, "v": cv, "index": idx + t}
+                k_all, v_all = ck, cv
         else:
             k_all, v_all = k, v
 
@@ -396,9 +415,33 @@ class LlamaForCausalLM(nn.Module):
         return self.init(rng, input_ids=ids)
 
 
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 over the head dim: x (B,H,T,D) -> (x8, scale (B,H,T,1))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return x8, scale.astype(jnp.float32)
+
+
 def init_cache(config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> Tuple[Cache, ...]:
-    """Preallocated per-layer KV buffers, head-major (B, Hk, Tmax, D)."""
+    """Preallocated per-layer KV buffers, head-major (B, Hk, Tmax, D).
+
+    ``dtype`` may be the string "int8" (or jnp.int8) for a quantized cache:
+    int8 payloads plus fp32 per-(batch, head, position) scales.
+    """
     shape = (batch, config.kv_heads, max_len, config.dims_per_head)
+    if dtype in ("int8", jnp.int8):
+        sshape = shape[:-1] + (1,)
+        return tuple(
+            {
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(sshape, jnp.float32),
+                "v_scale": jnp.zeros(sshape, jnp.float32),
+                "index": jnp.int32(0),
+            }
+            for _ in range(config.num_layers)
+        )
     return tuple(
         {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype), "index": jnp.int32(0)}
         for _ in range(config.num_layers)

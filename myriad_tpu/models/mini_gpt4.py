@@ -265,6 +265,56 @@ class MiniGPT4(BaseModel):
         )
         return {"loss": loss}
 
+    def load_pretrained_weights(self, weights: Dict) -> Dict:
+        """Merge converted pretrained towers into the frozen subtrees
+        (the MiniGPT-4 bootstrap: EVA + Q-Former + Vicuna frozen,
+        mini_gpt4.py freeze logic).  ``llama_proj`` is MiniGPT-4's
+        *trainable* module, so a supplied llama_proj tree (e.g. converted
+        from pretrained_minigpt4_7b.pth) merges into ``self.trainable``.
+
+        Returns {loaded, skipped, missing} path accounting (see
+        Myriad.load_pretrained_weights)."""
+        report: Dict = {"loaded": {}, "skipped": {}}
+        loaded_paths = set()
+        for key, prefix in (("vit", "visual_encoder"), ("qformer", ""),
+                            ("llama", "llama")):
+            if not weights.get(key):
+                continue
+            tree = (ckpt_lib.load_params(weights[key])
+                    if isinstance(weights[key], str) else weights[key])
+            if key == "qformer" and "qformer" not in tree:
+                qt = tree.pop("query_tokens", None)
+                ln = tree.pop("ln_vision", None)
+                tree = {"qformer": tree}
+                if qt is not None:
+                    tree["query_tokens"] = qt
+                if ln is not None:
+                    tree["ln_vision"] = ln
+            loaded, skipped = self.load_frozen(tree, prefix=prefix)
+            report["loaded"][key], report["skipped"][key] = loaded, skipped
+            loaded_paths.update(loaded)
+        if weights.get("llama_proj"):
+            tree = (ckpt_lib.load_params(weights["llama_proj"])
+                    if isinstance(weights["llama_proj"], str) else weights["llama_proj"])
+            merged, loaded, skipped = ckpt_lib.merge_with_paths(self.trainable, tree)
+            self.trainable = merged
+            report["loaded"]["llama_proj"], report["skipped"]["llama_proj"] = loaded, skipped
+            loaded_paths.update(loaded)
+        roots = {"vit": ["visual_encoder"],
+                 "qformer": ["qformer", "query_tokens", "ln_vision"],
+                 "llama": ["llama"], "llama_proj": ["llama_proj"]}
+        expect = [r for k, rs in roots.items() if weights.get(k) for r in rs]
+        all_paths = ckpt_lib.tree_paths(self.frozen) + ckpt_lib.tree_paths(self.trainable)
+        report["missing"] = [
+            p for p in all_paths
+            if any(p == r or p.startswith(r + "/") for r in expect)
+            and p not in loaded_paths
+        ]
+        if report["missing"]:
+            logging.warning("pretrained weights: %d leaves NOT covered",
+                            len(report["missing"]))
+        return report
+
     @classmethod
     def from_config(cls, cfg):
         arch_preset = cfg.get("arch_preset", "full")
@@ -285,6 +335,9 @@ class MiniGPT4(BaseModel):
             policy=Policy.fp32() if cfg.get("vit_precision") == "fp32" else Policy.bf16(),
             seed=cfg.get("seed", 0),
         )
+        weights = dict(cfg.get("weights") or {})
+        if weights:
+            model.load_pretrained_weights(weights)
         ckpt_path = cfg.get("ckpt", "")
         if ckpt_path:
             model.load_checkpoint(ckpt_path)

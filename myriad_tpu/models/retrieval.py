@@ -3,8 +3,14 @@
 
 Computes the two-stage similarity matrices: a cheap dot-product sweep over
 all pairs, then ITM re-ranking of each row's top-k.  The reference shards
-rows across ranks and all_reduces; here rows are sharded across hosts and
-summed with the multihost helper.
+rows across ranks and all_reduces full tensors (blip2.py:225-236); here
+rows are sharded across hosts and combined with one array all-gather + max
+(rows a host didn't score stay at the -100 floor, so elementwise max is
+exactly the reference's reduce).
+
+Note: like the reference (where ``compute_sim_matrix`` is a LAVIS vestige
+with no caller in the Myriad tree), this helper has no production caller —
+it is kept for API parity and exercised by tests/test_protocols.py.
 """
 
 from __future__ import annotations
@@ -55,12 +61,14 @@ def compute_sim_matrix(
         score_t2i[t, topk] = sims_t[t, topk] + rerank
 
     if world > 1:
-        flat = dist.all_sum_scalars(*score_i2t.ravel().tolist())
-        score_i2t = np.asarray(flat, np.float32).reshape(score_i2t.shape) - (
-            -100.0 * (world - 1)
-        )
-        flat = dist.all_sum_scalars(*score_t2i.ravel().tolist())
-        score_t2i = np.asarray(flat, np.float32).reshape(score_t2i.shape) - (
-            -100.0 * (world - 1)
-        )
+        from jax.experimental import multihost_utils
+
+        # every host fills only its row shard; unscored rows stay at the
+        # -100 floor, so a single all-gather + elementwise max reassembles
+        # the full matrices without python-scalar round-trips
+        gathered = multihost_utils.process_allgather(
+            np.stack([score_i2t, score_t2i.T])
+        )  # (world, 2, N_img, N_txt)
+        score_i2t = np.max(gathered[:, 0], axis=0)
+        score_t2i = np.max(gathered[:, 1], axis=0).T
     return score_i2t, score_t2i

@@ -47,8 +47,25 @@ def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def put_sharded(x, sharding: NamedSharding):
+    """Place one host array under ``sharding``, multi-host aware.
+
+    Single process: plain ``device_put``.  Multi-process (pod scale): the
+    host holds only its PROCESS-LOCAL rows (DistributedSampler shard), so
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the JAX equivalent of the
+    reference's DDP per-rank batches (reference runner_base.py:533-544).
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Device_put a host batch with the batch dim sharded over 'data'."""
+    """Place a host batch with the batch dim sharded over 'data'.
+
+    In multi-process jobs ``batch`` is the process-local shard (global
+    batch = local batch × process count)."""
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x) or 1)), batch
+        lambda x: put_sharded(x, data_sharding(mesh, np.ndim(x) or 1)), batch
     )

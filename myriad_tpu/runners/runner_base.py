@@ -113,9 +113,11 @@ class RunnerBase:
         out = {}
         for k, v in arrays.items():
             if hasattr(v, "ndim") and v.ndim >= 1 and k not in ("before", "after"):
-                out[k] = jax.device_put(v, mesh_lib.data_sharding(self.mesh, v.ndim))
+                # batch-dim leaves: process-local rows assemble into the
+                # global array on multi-host jobs (mesh.put_sharded)
+                out[k] = mesh_lib.put_sharded(v, mesh_lib.data_sharding(self.mesh, v.ndim))
             else:
-                out[k] = jax.device_put(v, mesh_lib.replicated(self.mesh))
+                out[k] = mesh_lib.put_sharded(v, mesh_lib.replicated(self.mesh))
         return out
 
     # -- optimizer --------------------------------------------------------

@@ -90,6 +90,51 @@ def test_myriad_with_vision_expert():
     assert np.isfinite(float(out["loss"]))
 
 
+def test_fused_generate_matches_two_step():
+    """The single-jit fused path (VE maps + prefill + decode) must produce
+    the same tokens and maps as dispatching the VE separately."""
+    import jax.numpy as jnp
+
+    from myriad_tpu.generation import GenerationConfig, greedy_generate
+    from myriad_tpu.models.llama import LlamaForCausalLM
+    from myriad_tpu.models.myriad import MyriadModule
+
+    model = Myriad(arch=MyriadArch.tiny(), use_ve=True, policy=Policy.fp32(),
+                   max_txt_len=16)
+    ve = model.vision_expert
+    ve.class_names = ["bottle"]
+    ve.class_index = {"bottle": 0}
+    ve.build_text_features()
+    s = _samples(with_aug=False)
+
+    out = model.generate(s, max_new_tokens=5)  # fused (text cache built)
+    assert ("fused_gen", 1) == next(
+        k[:2] for k in model._jit_cache if k[0] == "fused_gen"
+    )
+
+    # manual two-step: VE dispatch then prefill+decode
+    maps, _ = ve(jnp.asarray(np.asarray(s["image"], np.float32)), s["scene"])
+    before, after = model.split_prompt(s["question2"][0])
+    llama = LlamaForCausalLM(model.arch.llama, model.policy.compute_dtype,
+                             model.policy.param_dtype)
+    cfg = GenerationConfig(max_new_tokens=5)
+    embeds = model.module.apply(
+        {"params": model.params}, jnp.asarray(np.asarray(s["image"], np.float32)),
+        maps, jnp.asarray(before), jnp.asarray(after), 1,
+        method=MyriadModule.prefill_embeds,
+    )
+    import jax
+
+    ref_tokens = greedy_generate(
+        llama, {"params": model.params["llama"]}, embeds, config=cfg,
+        rng=jax.random.PRNGKey(0), cache_dtype=model.policy.compute_dtype,
+    )
+    np.testing.assert_array_equal(np.asarray(out["token_ids"]),
+                                  np.asarray(ref_tokens))
+    np.testing.assert_allclose(np.asarray(out["ve_anomaly_maps"]),
+                               np.asarray(maps), rtol=1e-5, atol=1e-5)
+
+
 def test_minigpt4_forward():
     model = MiniGPT4(arch=MyriadArch.tiny(), policy=Policy.fp32(), max_txt_len=16)
     s = _samples(with_aug=False)
