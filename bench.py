@@ -7,23 +7,38 @@ Measures the full evaluation step of the Myriad pipeline
     -> encode_img stage 1 (EVA-ViT-g + adaptor + Q-Former + VE tokens)
     -> LLM prefill + 90-token greedy decode (Pallas KV-cache attention)
 
-Profile: the vision stack runs at FULL reference scale (EVA-ViT-g/14 1.0B,
-ImageBind-huge vision 630M, Q-Former, VE adaptors).  The LLM uses LLaMA
-hidden 4096 / 32 heads with REDUCED depth (16 of 32 layers, ~3.4B params)
-so the whole pipeline + KV cache fits a single v5e chip's 16 GiB HBM —
-Vicuna-7B itself is served sharded over the mesh (see
-__graft_entry__.dryrun_multichip); per-chip decode math is identical per
-layer, so images/sec/chip at depth 16 is reported with the depth ratio
-noted in the JSON line.
+Profile: the FULL reference scale — EVA-ViT-g/14 (1.0B), ImageBind-huge
+vision+text (1.0B), Q-Former, VE adaptors, and Vicuna-7B at its full 32
+layers.  The whole pipeline fits one v5e chip (16 GiB) because the frozen
+LLM serves int8 weight-only (ops/quant.py) with an int8 KV cache
+(llama.py:quantize_kv) — per-chip budget proven by tests/test_fit_proof.py.
+``--profile bench16`` keeps the old depth-16 profile for comparison.
 
 vs_baseline: the reference publishes no numbers (BASELINE.json
-"published": {}).  The denominator is an estimate of the reference stack
-on A100: HF fp16 Vicuna-7B generate (90 new tokens, batch 1) plus the
-double ImageBind VE forward with per-batch text re-encode and in-forward
-disk reads (evaluation_aqa_dataset.py timing hooks :328-332) ~= 0.5
-images/sec.  Replace with a measured number when one exists.
+"published": {}), so the denominator is DERIVED for the reference stack
+as shipped — A100-80GB, fp16, eval batch 1 (its --bs default,
+reference evaluation_aqa_dataset.py:47), 90-token HF generate:
 
-Usage: python bench.py [--dry-run] [--batch 4] [--profile bench|tiny]
+  * decode: HF fp16 LLaMA-7B on A100 sustains ~37 tok/s at batch 1
+    (weight streaming is 14.0 GB/token / 2.04 TB/s spec = 6.9 ms = 145
+    tok/s roofline; the HF python step loop + kernel launches bring
+    public A100 measurements to 30-40 tok/s) -> 90 tokens ~= 2.43 s
+  * vision expert: ImageBind-huge runs TWICE per batch (zero- AND
+    one-shot, reference myriad.py:342-348), re-encoding the 24-sentence
+    prompt ensemble per forward and reading reference images from disk
+    inside forward (adrefexpert_v2.py:209-217,282) ~= 0.35 s
+  * EVA-g + Q-Former + prefill ~= 0.05 s
+
+  -> ~2.8 s/image = 0.36 images/sec as shipped (REFERENCE_A100_AS_SHIPPED).
+
+``vs_roofline`` additionally reports against a speed-of-light reference —
+every HF/python overhead removed, spec bandwidth, zero VE cost beyond
+FLOPs: 90x6.9ms + 0.02s = 0.64 s/image = 1.55 images/sec
+(REFERENCE_A100_ROOFLINE).  Beating the roofline number means no A100
+implementation of the reference stack, however optimized, reaches this
+throughput at its shipped batch size.
+
+Usage: python bench.py [--dry-run] [--batch 16] [--profile full|bench16|tiny]
 """
 
 import argparse
@@ -34,7 +49,16 @@ import time
 
 import numpy as np
 
-REFERENCE_A100_IMAGES_PER_SEC = 0.5  # documented estimate, see module docstring
+REFERENCE_A100_AS_SHIPPED = 0.36  # images/sec, derivation in module docstring
+REFERENCE_A100_ROOFLINE = 1.55  # images/sec, speed-of-light bound
+# Train-mode denominator (samples/sec/GPU, reference stage-2 LoRA step on
+# A100): fwd 8x200tok x 2x7e9 = 22 TFLOP + bwd ~2x fwd = 67 TFLOP/step at
+# ~35% fp16 MFU (218 TFLOPS) = 0.31 s, + the double ImageBind VE forward
+# with in-forward text re-encode and reference disk reads (~0.35 s) +
+# EVA/Q-Former fwd ~= 0.75 s/step of 8 samples on 2 GPUs ~= 5.3 samples/s
+# total; HF/AMP/dataloader overhead brings shipped MiniGPT-4-class configs
+# to ~4 samples/s on 2xA100 = 2.0 samples/sec/GPU.
+REFERENCE_A100_TRAIN_PER_GPU = 2.0
 DECODE_TOKENS = 90
 
 
@@ -45,14 +69,16 @@ def build_profile(name: str):
 
     if name == "tiny":
         return MyriadArch.tiny()
-    if name == "bench":
+    if name == "bench16":
+        # round-1 reduced-depth profile, kept for cross-round comparability
         return MyriadArch.full(
             llama=LlamaConfig(
                 vocab_size=32000, hidden_size=4096, intermediate_size=11008,
                 num_layers=16, num_heads=32, max_position_embeddings=2048,
             ),
         )
-    if name == "full":
+    if name in ("bench", "full"):
+        # the real model: Vicuna-7B depth 32 (fits via int8 weights + int8 KV)
         return MyriadArch.full()
     raise ValueError(name)
 
@@ -60,15 +86,17 @@ def build_profile(name: str):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dry-run", action="store_true", help="tiny profile on CPU")
-    # measured v5e throughput (int8): b8 8.7, b16 12.2, b32 14.7 img/s —
-    # b16 is the default for its 5x faster XLA compile (100s vs 500s)
     p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--profile", type=str, default=None, choices=["bench", "tiny", "full"])
+    p.add_argument("--profile", type=str, default=None,
+                   choices=["bench", "bench16", "tiny", "full"])
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--quant", type=str, default="int8", choices=["none", "int8"],
                    help="weight-only quantization of the frozen LLM (int8 "
                         "halves decode HBM traffic; 'none' for the bf16 "
                         "greedy-parity path)")
+    p.add_argument("--kv", type=str, default="int8", choices=["bf16", "int8"],
+                   help="KV-cache storage (int8 halves cache traffic+memory "
+                        "— what lets full-depth d32 serve at batch 16)")
     p.add_argument("--mode", type=str, default="eval", choices=["eval", "train"],
                    help="eval: AQA decode step (default); train: stage-2 "
                         "LoRA finetune step samples/sec (BASELINE config 4)")
@@ -99,6 +127,10 @@ def main():
     if args.quant == "int8":
         arch = dataclasses.replace(
             arch, llama=dataclasses.replace(arch.llama, weight_dtype="int8")
+        )
+    if args.kv == "int8":
+        arch = dataclasses.replace(
+            arch, llama=dataclasses.replace(arch.llama, kv_cache_dtype="int8")
         )
     b = args.batch if profile != "tiny" else 2
     print(f"[bench] profile={profile} batch={b} device={jax.devices()[0]}",
@@ -143,7 +175,7 @@ def main():
     ve_params = ve.params
     text_feats = ve._text_feats[jnp.zeros((b,), jnp.int32)]
     ve_module = ve.module
-    cache_dtype = model.policy.compute_dtype
+    cache_dtype = "int8" if args.kv == "int8" else model.policy.compute_dtype
     rng_key = __import__("jax").random.PRNGKey(0)
 
     @__import__("jax").jit
@@ -224,10 +256,12 @@ def main():
     result = {
         "metric": "images/sec/chip (MVTec-AD AQA eval step: VE maps + encode_img "
                   f"+ {DECODE_TOKENS}-token greedy decode; llama depth "
-                  f"{arch.llama.num_layers}, weights {arch.llama.weight_dtype})",
+                  f"{arch.llama.num_layers}, weights {arch.llama.weight_dtype}, "
+                  f"kv {arch.llama.kv_cache_dtype})",
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / REFERENCE_A100_IMAGES_PER_SEC, 3),
+        "vs_baseline": round(images_per_sec / REFERENCE_A100_AS_SHIPPED, 3),
+        "vs_roofline": round(images_per_sec / REFERENCE_A100_ROOFLINE, 3),
         "p50_per_image_s": round(p50_latency, 4),
         "batch": b,
         "profile": profile,
@@ -287,7 +321,8 @@ def bench_train(args, model, images, before_j, after_j, b):
                   f"{model.arch.llama.num_layers}, weights {model.arch.llama.weight_dtype})",
         "value": round(b / med, 4),
         "unit": "samples/sec",
-        "vs_baseline": round((b / med) / 2.0, 3),  # est. 2 samples/s on 2xGPU ref
+        # per-chip vs per-GPU (derivation at REFERENCE_A100_TRAIN_PER_GPU)
+        "vs_baseline": round((b / med) / REFERENCE_A100_TRAIN_PER_GPU, 3),
         "batch": b,
         "compile_s": round(compile_s, 1),
     }

@@ -14,6 +14,10 @@ from myriad_tpu.convert.imagebind import (
     convert_anomaly_decoder_state_dict,
     convert_imagebind_state_dict,
 )
+from myriad_tpu.convert.simplenet import (
+    convert_simplenet_head_state_dict,
+    convert_wide_resnet50_state_dict,
+)
 
 __all__ = [
     "convert_llama_state_dict",
@@ -21,4 +25,6 @@ __all__ = [
     "convert_qformer_state_dict",
     "convert_imagebind_state_dict",
     "convert_anomaly_decoder_state_dict",
+    "convert_simplenet_head_state_dict",
+    "convert_wide_resnet50_state_dict",
 ]

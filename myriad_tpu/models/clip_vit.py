@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -34,7 +35,7 @@ class ClipBlock(nn.Module):
         x = x + h
         m = nn.Dense(4 * dim, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="c_fc")(ln("ln_2")(x).astype(self.dtype))
-        m = nn.gelu(m, approximate=True)  # CLIP QuickGELU approximation target
+        m = m * jax.nn.sigmoid(1.702 * m)  # CLIP QuickGELU (clip_vit.py:116)
         m = nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="c_proj")(m)
         return x + m

@@ -65,12 +65,21 @@ class LayerNormFp32(nn.Module):
         return y.astype(orig)
 
 
+def gelu_exact(x):
+    """erf-based GELU — torch nn.GELU default (the reference towers' act)."""
+    return nn.gelu(x, approximate=False)
+
+
 class Mlp(nn.Module):
-    """Transformer MLP: fc1 -> act -> fc2 (reference eva_vit.py:44-61)."""
+    """Transformer MLP: fc1 -> act -> fc2 (reference eva_vit.py:44-61).
+
+    Default act is EXACT gelu: torch ``nn.GELU()`` is erf-based, and the
+    tanh approximation diverges by ~1e-3 — enough to break per-tower
+    activation parity (tests/test_torch_parity.py)."""
 
     hidden_features: int
     out_features: Optional[int] = None
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 

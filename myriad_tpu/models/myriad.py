@@ -248,6 +248,8 @@ class Myriad(BaseModel):
         seed: int = 0,
         init_vision_expert: bool = True,
         clip_bpe_path: str = "",
+        vis_expert: str = "adrefexpert",
+        vis_expert_args: Optional[Dict] = None,
     ):
         self.arch = arch or MyriadArch.full()
         if use_lora:
@@ -302,6 +304,29 @@ class Myriad(BaseModel):
 
                 tokenizer = HashTokenizer(self.arch.imagebind.vocab_size)
             self.vision_expert = VisionExpert(ve_module, ve_params, tokenizer=tokenizer)
+
+        # interchangeable expert mux (reference vision_experts.py:12-68; the
+        # reference model hardwires adrefexpert, myriad.py:119 — the mux knob
+        # makes the alternatives usable): 'adrefexpert'/'patchcore' (default),
+        # 'adgpt' (zero-shot only), 'simplenet'/'simplenetV' (needs
+        # vis_expert_args.ckpt_root [+ backbone]), 'aprilgan' (needs
+        # vis_expert_args.ve_root of precomputed masks)
+        self.expert = self.vision_expert
+        if vis_expert not in ("adrefexpert", "patchcore", "", None):
+            from myriad_tpu.models.vision_experts import build_vision_expert
+
+            kwargs = dict(vis_expert_args or {})
+            if vis_expert.lower() in ("simplenet", "simplenetv") and \
+                    "simplenet_interface" not in kwargs:
+                from myriad_tpu.models.simplenet import load_simplenet_interface
+
+                kwargs["simplenet_interface"] = load_simplenet_interface(
+                    kwargs.pop("ckpt_root"),
+                    backbone_path=kwargs.pop("backbone", None),
+                    map_size=self.arch.map_size,
+                )
+            kwargs.setdefault("adrefexpert", self.vision_expert)
+            self.expert = build_vision_expert(vis_expert, **kwargs)
 
         # prompt list (myriad.py:224-233)
         self.prompt_list: List[str] = []
@@ -436,13 +461,27 @@ class Myriad(BaseModel):
         if training and "aug_image" in samples:
             scenes = scenes + scenes
 
-        if self.vision_expert is not None:
+        expert = getattr(self, "expert", None) or self.vision_expert
+        if expert is not None:
+            from myriad_tpu.models.vision_experts import PrecomputedMaskExpert
+
             img_dev = jnp.asarray(image)
-            maps, _ = self.vision_expert(img_dev, scenes)
-            if self.vision_expert._ref_bank is not None:
-                one_maps, _ = self.vision_expert(img_dev, scenes, one_shot=True)
+            if isinstance(expert, PrecomputedMaskExpert):
+                paths = list(samples["img_path"])
+                if training and "aug_image" in samples:
+                    paths = paths + paths
+                maps, _ = expert(paths, scenes)
+                one_maps = maps
+            elif expert is self.vision_expert:
+                maps, _ = expert(img_dev, scenes)
+                if self.vision_expert._ref_bank is not None:
+                    one_maps, _ = expert(img_dev, scenes, one_shot=True)
+                else:
+                    # no reference bank configured (e.g. chat): reuse zero-shot
+                    one_maps = maps
             else:
-                # no reference bank configured (e.g. chat): reuse zero-shot
+                # muxed experts (adgpt/simplenet) expose one map type
+                maps, _ = expert(img_dev, scenes)
                 one_maps = maps
         else:
             shape = (image.shape[0], self.arch.map_size, self.arch.map_size, 1)
@@ -536,7 +575,8 @@ class Myriad(BaseModel):
         seed = int(generate_kwargs.get("seed", 0))
         stage = 1
         ve = self.vision_expert
-        if ve is not None and ve._text_feats is not None:
+        if (ve is not None and ve._text_feats is not None
+                and getattr(self, "expert", ve) is ve):
             return self._generate_fused(samples, stage, gen_cfg, seed)
         image, question, _, maps, one_maps = self.prepare_sample(
             samples, stage, training=False
@@ -826,6 +866,9 @@ class Myriad(BaseModel):
             seed=cfg.get("seed", 0),
             init_vision_expert=cfg.get("init_vision_expert", True),
             clip_bpe_path=cfg.get("clip_bpe_path", ""),
+            vis_expert=cfg.get("vis_expert", "adrefexpert"),
+            vis_expert_args=(dict(cfg.get("vis_expert_args"))
+                             if cfg.get("vis_expert_args") else None),
         )
 
         # pretrained tower bootstrap: `weights: {vit, qformer, llama,

@@ -257,6 +257,57 @@ class SimpleNetInterface:
         return np.asarray(image_scores) + 1.0, maps[..., None] + 1.0
 
 
+def load_simplenet_interface(
+    ckpt_root: str,
+    backbone_path: Optional[str] = None,
+    map_size: int = 224,
+    target_embed_dimension: int = 1536,
+) -> "SimpleNetInterface":
+    """Build a SimpleNetInterface from converted npz checkpoints.
+
+    ``ckpt_root`` holds one ``{class}.npz`` per class (output of
+    ``tools/convert_weights.py simplenet``) — the per-class Projection +
+    Discriminator heads the reference stores as ``{root}/{class}/ckpt.pth``
+    (simplenet_intf.py:34-43).  ``backbone_path`` is the converted
+    torchvision WideResNet-50-2 trunk; when omitted the backbone starts at
+    its flax init (tests / feature-free smoke runs).
+    """
+    import glob
+    import os
+
+    import jax
+
+    from myriad_tpu import checkpoint as ckpt_lib
+
+    embedder = SimpleNetEmbedder(target_embed_dimension=target_embed_dimension)
+    img = jnp.zeros((1, 288, 288, 3), jnp.float32)
+    embedder_params = jax.jit(lambda r: embedder.init(r, img))(jax.random.PRNGKey(0))
+    if backbone_path:
+        tree = {"backbone": ckpt_lib.load_params(backbone_path)}
+        merged, loaded, skipped = ckpt_lib.merge_with_paths(
+            embedder_params["params"], tree
+        )
+        embedder_params = {"params": merged}
+        if skipped:
+            import logging
+
+            logging.warning("simplenet backbone: %d leaves skipped", len(skipped))
+
+    head = SimpleHead(target_embed_dimension=target_embed_dimension)
+    feats = jnp.zeros((1, target_embed_dimension), jnp.float32)
+    init_head = jax.jit(lambda r: head.init(r, feats))(jax.random.PRNGKey(1))
+    head_params: Dict[str, Dict] = {}
+    for path in sorted(glob.glob(os.path.join(ckpt_root, "*.npz"))):
+        cls = os.path.splitext(os.path.basename(path))[0]
+        tree = ckpt_lib.load_params(path)
+        merged, _, _ = ckpt_lib.merge_with_paths(init_head["params"], tree)
+        head_params[cls] = {"params": merged}
+    if not head_params:
+        raise FileNotFoundError(f"no per-class head npz files under {ckpt_root}")
+    return SimpleNetInterface(embedder, embedder_params, head, head_params,
+                              map_size=map_size)
+
+
 def discriminator_margin_loss(
     head: SimpleHead, params, feats: jnp.ndarray, noise_std: float,
     margin: float, rng: jax.Array,

@@ -1,0 +1,110 @@
+"""Per-chip memory accounting for sharded serving/training plans.
+
+The reference never has to budget memory — each A100 holds a full replica.
+On v5e (16 GiB HBM/chip) the 8.6B-parameter tower set only fits sharded,
+so the plan must be *provable* before touching hardware: every leaf's
+per-chip bytes are computed from its ``NamedSharding.shard_shape`` (the
+exact GSPMD placement, not an estimate), plus the KV cache and an
+activation bound.
+
+Used by tests/test_fit_proof.py to assert the full-depth pipeline fits a
+v5e-8 mesh with zero replication fallbacks on large leaves.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+GIB = 1024**3
+
+
+def leaf_bytes_per_chip(shape, dtype, sharding) -> int:
+    """HBM bytes one chip holds for a leaf placed under ``sharding``."""
+    shard = sharding.shard_shape(tuple(shape))
+    return math.prod(shard) * jnp.dtype(dtype).itemsize
+
+
+def tree_bytes_per_chip(shapes_tree, shardings_tree) -> int:
+    """Sum per-chip bytes over a pytree of ShapeDtypeStructs + shardings."""
+    leaves = zip(
+        jax.tree_util.tree_leaves(shapes_tree),
+        jax.tree_util.tree_leaves(
+            shardings_tree, is_leaf=lambda x: hasattr(x, "shard_shape")
+        ),
+    )
+    return sum(leaf_bytes_per_chip(l.shape, l.dtype, s) for l, s in leaves)
+
+
+def kv_cache_bytes_per_chip(
+    config, batch: int, max_len: int, dtype, n_model: int = 1
+) -> int:
+    """Decode KV cache per chip.
+
+    Head-major (B, Hk, Tmax, D) per layer; heads shard over the model axis
+    (the same column-parallel split as q/k/v projections), batch over data.
+    ``dtype`` may be "int8" (adds the fp32 per-position scale planes).
+    """
+    heads = max(config.kv_heads // n_model, 1)
+    elems = batch * heads * max_len * config.dims_per_head
+    if dtype in ("int8", jnp.int8):
+        per_layer = elems * 1 * 2  # int8 k+v
+        per_layer += batch * heads * max_len * 1 * 4 * 2  # fp32 scales
+    else:
+        per_layer = elems * jnp.dtype(dtype).itemsize * 2
+    return per_layer * config.num_layers
+
+
+def prefill_activation_bound(
+    config, batch: int, seq: int, n_model: int = 1, compute_bytes: int = 2
+) -> int:
+    """Upper bound on live prefill activations per chip.
+
+    XLA frees buffers between layers, so the peak is a handful of live
+    (B, T, ·) tensors inside one layer: the residual stream, the sharded
+    MLP intermediates (gate+up), and the fp32 attention logits
+    (B, H, T, T).  A 4x residual-stream slack term absorbs fusion
+    boundaries observed on v5e profiles.
+    """
+    hidden = batch * seq * config.hidden_size * compute_bytes
+    inter = 2 * batch * seq * (config.intermediate_size // n_model) * compute_bytes
+    logits = 4 * batch * (config.num_heads // n_model) * seq * seq
+    return 4 * hidden + inter + logits
+
+
+def fit_report(
+    shapes_tree,
+    shardings_tree,
+    *,
+    llama_config=None,
+    batch: int = 16,
+    max_len: int = 512,
+    kv_dtype="int8",
+    n_model: int = 1,
+    hbm_bytes: int = 16 * GIB,
+) -> Dict:
+    """Assemble the per-chip budget: params + KV cache + activation bound."""
+    params = tree_bytes_per_chip(shapes_tree, shardings_tree)
+    kv = (
+        kv_cache_bytes_per_chip(llama_config, batch, max_len, kv_dtype, n_model)
+        if llama_config is not None
+        else 0
+    )
+    act = (
+        prefill_activation_bound(llama_config, batch, max_len, n_model)
+        if llama_config is not None
+        else 0
+    )
+    total = params + kv + act
+    return {
+        "params_bytes": params,
+        "kv_bytes": kv,
+        "activation_bound_bytes": act,
+        "total_bytes": total,
+        "hbm_bytes": hbm_bytes,
+        "fits": total < hbm_bytes,
+        "utilization": total / hbm_bytes,
+    }

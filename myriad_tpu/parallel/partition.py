@@ -98,8 +98,20 @@ LLAMA_RULES: List[Rule] = [
     (r"(gate_proj|up_proj)/kernel$", P(None, "model")),
     (r"o_proj/kernel$", P("model", None)),
     (r"down_proj/kernel$", P("model", None)),
+    # int8 serving layout (QuantDense {w_int8, scale}): the quantized kernel
+    # shards exactly like its bf16 counterpart; the per-output-channel scale
+    # follows the OUTPUT dim — sharded for column-parallel, replicated for
+    # row-parallel (its dim is the un-sharded output there)
+    (r"(q_proj|v_proj)/base/w_int8$", P(None, "model")),
+    (r"(q_proj|k_proj|v_proj)/w_int8$", P(None, "model")),
+    (r"(gate_proj|up_proj)/w_int8$", P(None, "model")),
+    (r"(o_proj|down_proj)/w_int8$", P("model", None)),
+    (r"(q_proj|v_proj)/base/scale$", P("model")),
+    (r"(q_proj|k_proj|v_proj|gate_proj|up_proj)/scale$", P("model")),
+    (r"(o_proj|down_proj)/scale$", P()),
     (r"embed_tokens/embedding$", P(None, "model")),
     (r"lm_head/kernel$", P(None, "model")),
+    (r"lm_head$", P(None, "model")),
     (r"lora_a/kernel$", P()),
     (r"lora_b/kernel$", P(None, "model")),
 ]

@@ -98,11 +98,71 @@ def test_location_and_roi_and_summary(tmp_path):
     m = grade_loc(rows, out=io.StringIO())
     assert "accuracy" in m
     m2 = grade_roi(
-        [{"is_anomaly": True, "output": "is A."},
-         {"is_anomaly": False, "output": "C"}], out=io.StringIO())
+        [{"image_id": 0, "is_anomaly": True, "output": "is A.",
+          "image_path": "mvtec/bottle/test/x/0.png"},
+         {"image_id": 1, "is_anomaly": False, "output": "C",
+          "image_path": "mvtec/bottle/test/x/1.png"}],
+        mode=2, out=io.StringIO())
     assert m2["accuracy"] == 1.0
+
+
+def test_roi_full_grading_sections():
+    """Per-image aggregation, score sweep, per-scene normal-max threshold
+    (reference roi_protocol.py:183-299)."""
+    rows = []
+    # image 0: two rows, one Yes one unknown -> aggregates to anomalous
+    rows.append({"image_id": 0, "is_anomaly": True, "anomaly_score": "0.9",
+                 "output": "There is an anomaly in the image.",
+                 "image_path": "mvtec/bottle/test/x/0.png"})
+    rows.append({"image_id": 0, "is_anomaly": True, "anomaly_score": "0.9",
+                 "output": "hmm unclear",
+                 "image_path": "mvtec/bottle/test/x/0.png"})
+    for i in range(1, 9):
+        anomalous = i % 2 == 0
+        rows.append({
+            "image_id": i, "is_anomaly": anomalous,
+            "anomaly_score": str(0.7 + 0.02 * i if anomalous else 0.2 + 0.02 * i),
+            "output": "contains an anomaly" if anomalous else "There is no defect",
+            "image_path": f"mvtec/{'bottle' if i < 5 else 'screw'}/test/x/{i}.png",
+        })
+    m = grade_roi(rows, mode=0, out=io.StringIO())
+    assert m["accuracy"] == 1.0 and m["miss"] == 0.0 and m["over_kill"] == 0.0
+    assert m["score_auroc"] == 1.0
+    # per-scene: normal-max threshold separates perfectly in this fixture
+    assert m["avg_scene_th_acc"] == 1.0
+    assert "avg_scene_auroc" in m and m["avg_scene_auroc"] == 1.0
+
+
+def test_roi_extended_phrase_bank():
+    from scripts.eval_protocol.roi_protocol import get_model_answer as roi_ans
+
+    assert roi_ans("There are two anomalies present") == 1
+    assert roi_ans("the image contains no anomalies at all") == 0
+    assert roi_ans("completely unrelated text") == -1
+    # option modes
+    assert roi_ans("the answer is A.", mode=2) == 1
+    assert roi_ans("C", mode=2) == 0
+    assert roi_ans("D", mode=3) == 0
+
+
+def test_location_score_section_and_aggregation():
+    rows = [
+        {"image_id": 0, "is_anomaly": True, "output": "Yes",
+         "anomaly_score": "0.8", "image_path": "mvtec/bottle/test/x/0.png"},
+        {"image_id": 1, "is_anomaly": False, "output": "No",
+         "anomaly_score": "0.1", "image_path": "mvtec/bottle/test/x/1.png"},
+        {"image_id": 1, "is_anomaly": False, "output": "cannot tell",
+         "anomaly_score": "0.1", "image_path": "mvtec/bottle/test/x/1.png"},
+    ]
+    m = grade_loc(rows, out=io.StringIO())
+    assert m["accuracy"] == 1.0
+    assert m["score_auroc"] == 1.0
+
+
+def test_summary_results(tmp_path):
     import json
 
+    rows = _records()
     p = tmp_path / "results_x.jsonl"
     p.write_text("\n".join(json.dumps(r) for r in rows))
     s = summarize_file(str(p))

@@ -61,12 +61,33 @@ def load_torch(src: str) -> dict:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("tower", choices=["llama", "eva", "qformer", "imagebind",
-                                          "decoder", "llama_proj"])
+                                          "decoder", "llama_proj", "simplenet",
+                                          "wideresnet"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--use_lora", action="store_true")
     parser.add_argument("--depth", type=int, default=39, help="eva depth")
     args = parser.parse_args()
+
+    if args.tower == "simplenet":
+        # per-class head tree: {src}/{class}/ckpt.pth -> {out}/{class}.npz
+        # (reference simplenet_intf.py:34-43 checkpoint layout)
+        import torch
+
+        from myriad_tpu.convert import convert_simplenet_head_state_dict
+
+        os.makedirs(args.out, exist_ok=True)
+        n_cls = 0
+        for cls in sorted(os.listdir(args.src)):
+            ckpt_path = os.path.join(args.src, cls, "ckpt.pth")
+            if not os.path.isfile(ckpt_path):
+                continue
+            ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+            tree = convert_simplenet_head_state_dict(ckpt)["params"]
+            ckpt_lib.save_params(os.path.join(args.out, f"{cls}.npz"), tree)
+            n_cls += 1
+        print(f"wrote {n_cls} per-class head npz files to {args.out}")
+        return
 
     sd = load_torch(args.src)
 
@@ -95,6 +116,10 @@ def main():
         from myriad_tpu.convert import convert_anomaly_decoder_state_dict
 
         tree = convert_anomaly_decoder_state_dict(sd)["params"]
+    elif args.tower == "wideresnet":
+        from myriad_tpu.convert import convert_wide_resnet50_state_dict
+
+        tree = convert_wide_resnet50_state_dict(sd)["params"]
     elif args.tower == "llama_proj":
         tree = {
             "llama_proj": {
