@@ -97,6 +97,10 @@ def main():
     p.add_argument("--kv", type=str, default="int8", choices=["bf16", "int8"],
                    help="KV-cache storage (int8 halves cache traffic+memory "
                         "— what lets full-depth d32 serve at batch 16)")
+    p.add_argument("--vit-quant", action="store_true",
+                   help="int8 weight-only EVA + ImageBind towers (halves "
+                        "their 2 GiB bf16 footprint and encode weight "
+                        "traffic; W8A8 int8-MXU encode matmuls)")
     p.add_argument("--mode", type=str, default="eval", choices=["eval", "train"],
                    help="eval: AQA decode step (default); train: stage-2 "
                         "LoRA finetune step samples/sec (BASELINE config 4)")
@@ -131,6 +135,12 @@ def main():
     if args.kv == "int8":
         arch = dataclasses.replace(
             arch, llama=dataclasses.replace(arch.llama, kv_cache_dtype="int8")
+        )
+    if args.vit_quant:
+        arch = dataclasses.replace(
+            arch,
+            vit_weight_dtype="int8",
+            imagebind=dataclasses.replace(arch.imagebind, weight_dtype="int8"),
         )
     b = args.batch if profile != "tiny" else 2
     print(f"[bench] profile={profile} batch={b} device={jax.devices()[0]}",

@@ -154,6 +154,10 @@ def main():
     model_config = cfg.model_cfg
     model_config.round_index = args.round_index
     model_config.k_shot = args.k_shot
+    if model_config.get("vit_precision") != "fp32":
+        # serving stores frozen towers in bf16 directly (the reference's
+        # fp16 conversion); fp32 init of the 8.6B set would OOM one chip
+        model_config.setdefault("param_policy", "bf16_params")
     if args.ckpt != -1 and model_config.get("ckpt"):
         parts = model_config.ckpt.split("/")
         parts[-1] = f"checkpoint_{args.ckpt}"

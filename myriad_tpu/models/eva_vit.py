@@ -26,6 +26,7 @@ from myriad_tpu.models.layers import (
     Policy,
     dot_attention,
     drop_path,
+    maybe_quant_dense,
     merge_heads,
     split_heads,
     trunc_normal,
@@ -38,14 +39,15 @@ class EvaAttention(nn.Module):
     num_heads: int
     dtype: Dtype
     param_dtype: Dtype
+    weight_dtype: str = "bf16"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
         head_dim = dim // self.num_heads
-        qkv = nn.Dense(
-            3 * dim, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            kernel_init=trunc_normal(), name="qkv",
+        qkv = maybe_quant_dense(
+            self.weight_dtype, 3 * dim, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=trunc_normal(), name="qkv",
         )(x)
         q_bias = self.param("q_bias", nn.initializers.zeros, (dim,), self.param_dtype)
         v_bias = self.param("v_bias", nn.initializers.zeros, (dim,), self.param_dtype)
@@ -55,9 +57,9 @@ class EvaAttention(nn.Module):
         q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
         out = dot_attention(q, k, v, scale=head_dim**-0.5)
         out = merge_heads(out)
-        return nn.Dense(
-            dim, dtype=self.dtype, param_dtype=self.param_dtype,
-            kernel_init=trunc_normal(), name="proj",
+        return maybe_quant_dense(
+            self.weight_dtype, dim, use_bias=True, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=trunc_normal(), name="proj",
         )(out)
 
 
@@ -68,6 +70,7 @@ class EvaBlock(nn.Module):
     dtype: Dtype
     param_dtype: Dtype
     norm_eps: float = 1e-6
+    weight_dtype: str = "bf16"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -76,11 +79,13 @@ class EvaBlock(nn.Module):
                                 param_dtype=self.param_dtype, name=name)
 
         rng = None if deterministic else self.make_rng("droppath")
-        h = EvaAttention(self.num_heads, self.dtype, self.param_dtype, name="attn")(
+        h = EvaAttention(self.num_heads, self.dtype, self.param_dtype,
+                         weight_dtype=self.weight_dtype, name="attn")(
             ln("norm1")(x).astype(self.dtype)
         )
         x = x + drop_path(h, self.drop_path_rate, deterministic, rng)
-        h = Mlp(self.mlp_hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp")(
+        h = Mlp(self.mlp_hidden, dtype=self.dtype, param_dtype=self.param_dtype,
+                weight_dtype=self.weight_dtype, name="mlp")(
             ln("norm2")(x).astype(self.dtype)
         )
         rng2 = None if deterministic else self.make_rng("droppath")
@@ -100,6 +105,9 @@ class EvaViT(nn.Module):
     use_checkpoint: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    # "int8": frozen-tower weight-only quantization (halves the 1.0B
+    # tower's HBM footprint+traffic; W8A8 int8-MXU matmuls at encode)
+    weight_dtype: str = "bf16"
 
     @property
     def num_features(self) -> int:
@@ -148,6 +156,7 @@ class EvaViT(nn.Module):
                 drop_path_rate=dpr[i],
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                weight_dtype=self.weight_dtype,
                 name=f"blocks_{i}",
             )(x, deterministic)
         return x

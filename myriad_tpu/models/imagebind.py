@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from myriad_tpu.models.layers import Dtype, dot_attention, merge_heads, split_heads
+from myriad_tpu.models.layers import (
+    Dtype,
+    dot_attention,
+    maybe_quant_dense,
+    merge_heads,
+    split_heads,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +49,9 @@ class ImageBindConfig:
     context_length: int = 77
     vocab_size: int = 49408
     out_layers: Tuple[int, ...] = (7, 15, 23, 31)
+    # "int8": weight-only quantization of the trunk projections (frozen
+    # serving profile — halves the 1.0B tower's memory + HBM traffic)
+    weight_dtype: str = "bf16"
 
     @staticmethod
     def huge(**overrides) -> "ImageBindConfig":
@@ -73,17 +82,20 @@ class TorchMha(nn.Module):
     num_heads: int
     dtype: Dtype
     param_dtype: Dtype
+    weight_dtype: str = "bf16"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         dim = x.shape[-1]
-        qkv = nn.Dense(3 * dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                       name="in_proj")(x)
+        dense = lambda f, name: maybe_quant_dense(
+            self.weight_dtype, f, use_bias=True, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name,
+        )
+        qkv = dense(3 * dim, "in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
         out = dot_attention(q, k, v, mask=mask)
-        return nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="out_proj")(merge_heads(out))
+        return dense(dim, "out_proj")(merge_heads(out))
 
 
 class SimpleBlock(nn.Module):
@@ -93,22 +105,26 @@ class SimpleBlock(nn.Module):
     mlp_ratio: float
     dtype: Dtype
     param_dtype: Dtype
+    weight_dtype: str = "bf16"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         dim = x.shape[-1]
         ln = lambda n: nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                                     param_dtype=self.param_dtype, name=n)
-        h = TorchMha(self.num_heads, self.dtype, self.param_dtype, name="attn")(
+        dense = lambda f, name: maybe_quant_dense(
+            self.weight_dtype, f, use_bias=True, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name,
+        )
+        h = TorchMha(self.num_heads, self.dtype, self.param_dtype,
+                     weight_dtype=self.weight_dtype, name="attn")(
             ln("norm_1")(x).astype(self.dtype), mask
         )
         x = x + h
         hidden = int(dim * self.mlp_ratio)
-        m = nn.Dense(hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(
-            ln("norm_2")(x).astype(self.dtype)
-        )
+        m = dense(hidden, "fc1")(ln("norm_2")(x).astype(self.dtype))
         m = nn.gelu(m, approximate=False)
-        m = nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(m)
+        m = dense(dim, "fc2")(m)
         return x + m
 
 
@@ -122,6 +138,7 @@ class SimpleTrunk(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    weight_dtype: str = "bf16"
 
     @nn.compact
     def __call__(
@@ -136,7 +153,8 @@ class SimpleTrunk(nn.Module):
         taps: List[jnp.ndarray] = []
         for i in range(self.num_blocks):
             x = SimpleBlock(self.num_heads, self.mlp_ratio, self.dtype,
-                            self.param_dtype, name=f"blocks_{i}")(x, mask)
+                            self.param_dtype, weight_dtype=self.weight_dtype,
+                            name=f"blocks_{i}")(x, mask)
             if i in self.out_layers:
                 taps.append(x)
         return x, taps
@@ -174,7 +192,7 @@ class ImageBindVision(nn.Module):
         x, taps = SimpleTrunk(
             cfg.vision_num_blocks, cfg.vision_num_heads, pre_transformer_ln=True,
             out_layers=cfg.out_layers, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="trunk",
+            weight_dtype=cfg.weight_dtype, name="trunk",
         )(x)
 
         # head: LN -> cls -> linear (imagebind_model.py:383-387), then L2 norm
@@ -211,7 +229,8 @@ class ImageBindText(nn.Module):
         mask = jnp.where(causal, 0.0, -1e9)[None, None]
         x, _ = SimpleTrunk(
             cfg.text_num_blocks, cfg.text_num_heads, pre_transformer_ln=False,
-            out_layers=(), dtype=self.dtype, param_dtype=self.param_dtype, name="trunk",
+            out_layers=(), dtype=self.dtype, param_dtype=self.param_dtype,
+            weight_dtype=cfg.weight_dtype, name="trunk",
         )(x, mask)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="head_ln")(x.astype(jnp.float32))

@@ -21,7 +21,7 @@ from myriad_tpu.models.base import BaseModel
 from myriad_tpu.models.eva_vit import EvaViT
 from myriad_tpu.models.layers import Dtype, LayerNormFp32, Policy
 from myriad_tpu.models.llama import LlamaConfig, LlamaForCausalLM, lm_cross_entropy
-from myriad_tpu.models.myriad import MyriadArch
+from myriad_tpu.models.myriad import MyriadArch, _cast_frozen, _policy_from_cfg
 from myriad_tpu.models.qformer import QFormer
 from myriad_tpu.tokenization import load_llama_tokenizer
 
@@ -139,6 +139,8 @@ class MiniGPT4(BaseModel):
         self.trainable, self.frozen = ckpt_lib.split_by_predicate(
             params, self._trainable_predicate()
         )
+        # frozen towers store in the compute dtype (reference fp16 conversion)
+        self.frozen = _cast_frozen(self.frozen, policy.compute_dtype)
         self.llama_tokenizer = load_llama_tokenizer(llama_model)
         self.prompt_list: List[str] = []
         if prompt_path:
@@ -332,7 +334,7 @@ class MiniGPT4(BaseModel):
             prompt_template=cfg.get("prompt_template", ""),
             max_txt_len=cfg.get("max_txt_len", 32),
             end_sym=cfg.get("end_sym", "\n"),
-            policy=Policy.fp32() if cfg.get("vit_precision") == "fp32" else Policy.bf16(),
+            policy=_policy_from_cfg(cfg),
             seed=cfg.get("seed", 0),
         )
         weights = dict(cfg.get("weights") or {})

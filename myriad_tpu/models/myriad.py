@@ -67,6 +67,9 @@ class MyriadArch:
     adaptor_rank: int = 4
     ve_instructor_version: int = 0
     map_size: int = 224
+    # "int8": weight-only quantization of the frozen EVA tower (the
+    # ImageBind tower quantizes via imagebind.weight_dtype)
+    vit_weight_dtype: str = "bf16"
     llama: LlamaConfig = dataclasses.field(default_factory=LlamaConfig)
     imagebind: ImageBindConfig = dataclasses.field(default_factory=ImageBindConfig)
 
@@ -96,6 +99,33 @@ class MyriadArch:
         return dataclasses.replace(base, **overrides)
 
 
+def _policy_from_cfg(cfg) -> Policy:
+    """param_policy: 'fp32' | 'bf16' (fp32 master weights, bf16 compute —
+    the training default) | 'bf16_params' (bf16 storage — serving; avoids
+    ever materializing the 8.6B frozen set in fp32).  Falls back to the
+    reference-style vit_precision knob."""
+    name = cfg.get("param_policy")
+    if name:
+        return getattr(Policy, str(name))()
+    return Policy.fp32() if cfg.get("vit_precision") == "fp32" else Policy.bf16()
+
+
+def _cast_frozen(tree, compute_dtype):
+    """Store frozen float leaves in the compute dtype (int8 payloads and
+    the fp32 dequant scales keep their dtypes)."""
+    if compute_dtype == jnp.float32:
+        return tree
+
+    def cast(path, x):
+        name = str(getattr(path[-1], "key", path[-1])) if path else ""
+        arr = jnp.asarray(x)
+        if name == "scale" or not jnp.issubdtype(arr.dtype, jnp.floating):
+            return x
+        return arr.astype(compute_dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, tree)
+
+
 class MyriadModule(nn.Module):
     """The jittable compute graph (no host state)."""
 
@@ -110,6 +140,7 @@ class MyriadModule(nn.Module):
             img_size=a.img_size, patch_size=a.vit_patch, embed_dim=a.vit_dim,
             depth=a.vit_depth, num_heads=a.vit_heads, mlp_ratio=a.vit_mlp_ratio,
             use_checkpoint=self.use_grad_checkpoint,
+            weight_dtype=a.vit_weight_dtype,
             dtype=self.dtype, param_dtype=self.param_dtype, name="visual_encoder",
         )
         self.expert_adaptor = LoraAdaptorV2(
@@ -280,6 +311,14 @@ class Myriad(BaseModel):
         self.trainable, self.frozen = ckpt_lib.split_by_predicate(
             params, self._trainable_predicate()
         )
+        del params  # free the undivided init tree before casting copies exist
+        # frozen towers store in the compute dtype (the reference converts
+        # them to fp16, eva_vit.py:397-412 + llama fp16 load) — fp32 storage
+        # of the 8.6B frozen set costs +4 GiB and OOMs full-scale serving;
+        # trainables stay in param_dtype (fp32 master weights under bf16()).
+        # For full-scale serving prefer param_policy=bf16_params, which
+        # initializes in bf16 directly and makes this cast a no-op.
+        self.frozen = _cast_frozen(self.frozen, self.policy.compute_dtype)
         logging.info("Myriad params: %s (trainable %s)",
                      self.show_n_params(), self.count_params(self.trainable))
 
@@ -292,6 +331,7 @@ class Myriad(BaseModel):
                 dtype=policy.compute_dtype, param_dtype=policy.param_dtype,
             )
             ve_params = self._init_ve_params(ve_module, jax.random.PRNGKey(seed + 1))
+            ve_params = _cast_frozen(ve_params, policy.compute_dtype)
             # real CLIP BPE when a vocab file is configured (the reference's
             # SimpleTokenizer, ImageBind/models/multimodal_preprocessors.py);
             # deterministic hash stand-in otherwise (weightless runs/tests)
@@ -742,6 +782,10 @@ class Myriad(BaseModel):
                 from myriad_tpu.ops.quant import quantize_tree
 
                 tree = quantize_tree(tree)
+            if key == "vit" and self.arch.vit_weight_dtype == "int8":
+                from myriad_tpu.ops.quant import EVA_QUANT_PATTERN, quantize_tree
+
+                tree = quantize_tree(tree, EVA_QUANT_PATTERN)
             loaded, skipped = self.load_frozen(tree, prefix=prefix)
             report["loaded"][key] = loaded
             report["skipped"][key] = skipped
@@ -756,6 +800,13 @@ class Myriad(BaseModel):
                 if not weights.get(key):
                     continue
                 tree = tree_of(weights[key])
+                if key == "imagebind" and self.arch.imagebind.weight_dtype == "int8":
+                    from myriad_tpu.ops.quant import (
+                        IMAGEBIND_QUANT_PATTERN,
+                        quantize_tree,
+                    )
+
+                    tree = quantize_tree(tree, IMAGEBIND_QUANT_PATTERN)
                 if prefix:
                     tree = {prefix: tree}
                 merged, loaded, skipped = ckpt_lib.merge_with_paths(
@@ -832,6 +883,16 @@ class Myriad(BaseModel):
             arch = dataclasses.replace(
                 arch, llama=dataclasses.replace(arch.llama, kv_cache_dtype=kv_dtype)
             )
+        if cfg.get("vit_weight_dtype"):
+            arch = dataclasses.replace(arch,
+                                       vit_weight_dtype=cfg.get("vit_weight_dtype"))
+        if cfg.get("ve_weight_dtype"):
+            arch = dataclasses.replace(
+                arch,
+                imagebind=dataclasses.replace(
+                    arch.imagebind, weight_dtype=cfg.get("ve_weight_dtype")
+                ),
+            )
         # reference knobs that are dead in the live path (myriad.py:456-484):
         # accept so every reference YAML keeps loading, warn that they no-op
         for knob, why in (
@@ -862,7 +923,7 @@ class Myriad(BaseModel):
             prompt_template=cfg.get("prompt_template", ""),
             max_txt_len=cfg.get("max_txt_len", 32),
             end_sym=cfg.get("end_sym", "\n"),
-            policy=Policy.fp32() if cfg.get("vit_precision") == "fp32" else Policy.bf16(),
+            policy=_policy_from_cfg(cfg),
             seed=cfg.get("seed", 0),
             init_vision_expert=cfg.get("init_vision_expert", True),
             clip_bpe_path=cfg.get("clip_bpe_path", ""),

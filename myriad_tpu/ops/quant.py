@@ -124,6 +124,11 @@ LLAMA_QUANT_PATTERN = (
     r"(k_proj|o_proj|gate_proj|up_proj|down_proj)/kernel$"
     r"|(q_proj|v_proj)/base/kernel$"
 )
+# EVA-ViT trunk projections (attn qkv/proj + MLP) — patch_embed is 4-D
+# and skipped by the ndim check
+EVA_QUANT_PATTERN = r"(qkv|attn/proj|fc1|fc2)/kernel$"
+# ImageBind trunk projections; head_proj (the CLIP-space head) stays bf16
+IMAGEBIND_QUANT_PATTERN = r"(in_proj|out_proj|fc1|fc2)/kernel$"
 
 
 def quantize_tree(params, path_pattern: str = LLAMA_QUANT_PATTERN):

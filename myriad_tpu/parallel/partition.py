@@ -121,6 +121,11 @@ VIT_RULES: List[Rule] = [
     (r"(proj|o_proj)/kernel$", P("model", None)),
     (r"fc1/kernel$", P(None, "model")),
     (r"fc2/kernel$", P("model", None)),
+    # int8 serving layout (see LLAMA_RULES note)
+    (r"(qkv|fc1)/w_int8$", P(None, "model")),
+    (r"(proj|fc2)/w_int8$", P("model", None)),
+    (r"(qkv|fc1)/scale$", P("model")),
+    (r"(proj|fc2)/scale$", P()),
 ]
 
 IMAGEBIND_RULES: List[Rule] = [
@@ -128,6 +133,10 @@ IMAGEBIND_RULES: List[Rule] = [
     (r"out_proj/kernel$", P("model", None)),
     (r"fc1/kernel$", P(None, "model")),
     (r"fc2/kernel$", P("model", None)),
+    (r"(in_proj|fc1)/w_int8$", P(None, "model")),
+    (r"(out_proj|fc2)/w_int8$", P("model", None)),
+    (r"(in_proj|fc1)/scale$", P("model")),
+    (r"(out_proj|fc2)/scale$", P()),
 ]
 
 QFORMER_RULES: List[Rule] = [

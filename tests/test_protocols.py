@@ -169,6 +169,82 @@ def test_summary_results(tmp_path):
     assert s["n"] == 20 and 0.7 < s["acc"] < 0.9
 
 
+def test_aqa_localization_pixel_auroc():
+    """Box-cropped pixel-AUROC (reference aqa_protocol.py:52-145): the VE
+    mask survives only inside the predicted defect boxes."""
+    import numpy as np
+
+    from scripts.eval_protocol.aqa_protocol import (
+        cal_anomaly_scores,
+        collect_defect_boxes,
+        get_option_index,
+    )
+
+    assert get_option_index("the answer is B") == 1
+    assert get_option_index("x: D", mode=1) == 3
+    assert get_option_index("nothing here", mode=0) == -1
+
+    records = [
+        # image 0: defect predicted at option A (box [0,0,8,8])
+        {"image_id": 0, "output": "the answer is A",
+         "options": [[0, 0, 8, 8], [8, 8, 16, 16], [0, 8, 8, 16], [0, 0, 0, 0]]},
+        # image 1: predicted normal (D) -> all options filed as normals
+        {"image_id": 1, "output": "the answer is D",
+         "options": [[0, 0, 8, 8], [8, 8, 16, 16], [0, 8, 8, 16], [0, 0, 0, 0]]},
+    ]
+    infos = collect_defect_boxes(records, mode=0)
+    assert infos[0]["defects"] == [[0, 0, 8, 8]]
+    assert infos[1]["defects"] == [] and len(infos[1]["normals"]) == 4
+
+    ve = np.ones((16, 16), np.float32)  # VE fires everywhere
+    gt0 = np.zeros((16, 16), np.float32)
+    gt0[:8, :8] = 1.0  # true defect exactly where the predicted box is
+    gt1 = np.zeros((16, 16), np.float32)
+    import io
+
+    auroc = cal_anomaly_scores(
+        infos,
+        ve_of=lambda i: ve,
+        gt_of=lambda i: gt0 if i == 0 else gt1,
+        out=io.StringIO(),
+    )
+    # cropped VE == gt on image 0 and all-zero on the normal image -> perfect
+    assert auroc == 1.0
+
+    # with a WRONG box the cropped mask misses the defect -> AUROC collapses
+    infos[0]["defects"] = [[8, 8, 16, 16]]
+    auroc2 = cal_anomaly_scores(
+        infos, ve_of=lambda i: ve, gt_of=lambda i: gt0 if i == 0 else gt1,
+        out=io.StringIO(),
+    )
+    assert auroc2 < 0.5
+
+
+def test_retrieval_sim_matrix():
+    """compute_sim_matrix (blip2.py:128-241 equivalent): stage-1 max-over-
+    query scores + top-k re-rank layout."""
+    import numpy as np
+
+    from myriad_tpu.models.retrieval import compute_sim_matrix
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(4, 3, 8)).astype(np.float32)  # (N_img, Q, D)
+    txt = rng.normal(size=(5, 8)).astype(np.float32)
+
+    def itm(i, topk):
+        return np.zeros(np.shape(topk) or (1,), np.float32) + 0.5
+
+    i2t, t2i = compute_sim_matrix(img, txt, itm_score_fn=itm, k_test=3)
+    assert i2t.shape == (4, 5) and t2i.shape == (5, 4)
+    # exactly k entries per row are scored, the rest stay at the -100 floor
+    assert ((i2t > -100).sum(axis=1) == 3).all()
+    assert ((t2i > -100).sum(axis=1) == 3).all()
+    # stage-1 score = max over query tokens (+ rerank 0.5)
+    ref = np.einsum("iqd,td->iqt", img, txt).max(axis=1)
+    i, t = 0, int(np.argmax(ref[0]))
+    np.testing.assert_allclose(i2t[i, t], ref[i, t] + 0.5, rtol=1e-5)
+
+
 def test_clear_exps(tmp_path):
     from scripts.utils.clear_exps import clear_experiment
 

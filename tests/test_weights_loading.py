@@ -124,6 +124,51 @@ def test_int8_quantize_on_load(donor):
     assert np.max(np.abs(deq - ref)) <= np.max(np.abs(ref)) / 127.0 + 1e-6
 
 
+def test_int8_vision_towers_quantize_on_load(donor):
+    """vit_weight_dtype/ve_weight_dtype int8: the fp32 tower npz quantizes
+    into the QuantDense layout on load, with zero missing leaves and
+    activations close to the fp32 tower."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    donor_model, paths = donor
+    arch = MyriadArch.tiny()
+    arch = dataclasses.replace(
+        arch,
+        vit_weight_dtype="int8",
+        imagebind=dataclasses.replace(arch.imagebind, weight_dtype="int8"),
+    )
+    model = Myriad(arch=arch, use_ve=True, policy=Policy.fp32(), seed=0)
+    report = model.load_pretrained_weights(
+        {"vit": paths["vit"], "imagebind": paths["imagebind"],
+         "decoder": paths["decoder"]}
+    )
+    assert report["missing"] == [], report["missing"][:5]
+    flat = ckpt_lib.flatten_dict(model.frozen["visual_encoder"])
+    assert any(k.endswith("w_int8") for k in flat)
+
+    # encode activations stay close to the donor's fp32 tower
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, 28, 28, 3)).astype(np.float32) * 0.5)
+    from myriad_tpu.models.eva_vit import EvaViT
+
+    a = arch
+    vit_q = EvaViT(img_size=a.img_size, patch_size=a.vit_patch, embed_dim=a.vit_dim,
+                   depth=a.vit_depth, num_heads=a.vit_heads, mlp_ratio=a.vit_mlp_ratio,
+                   weight_dtype="int8", dtype=jnp.float32, param_dtype=jnp.float32)
+    vit_f = EvaViT(img_size=a.img_size, patch_size=a.vit_patch, embed_dim=a.vit_dim,
+                   depth=a.vit_depth, num_heads=a.vit_heads, mlp_ratio=a.vit_mlp_ratio,
+                   dtype=jnp.float32, param_dtype=jnp.float32)
+    got = vit_q.apply({"params": model.frozen["visual_encoder"]}, img)
+    ref = vit_f.apply({"params": donor_model.frozen["visual_encoder"]}, img)
+    rel = np.max(np.abs(np.asarray(got) - np.asarray(ref))) / (
+        np.max(np.abs(np.asarray(ref))) + 1e-9
+    )
+    assert rel < 0.05, rel  # int8 weight-only quantization error bound
+
+
 def test_raw_blip2_state_dict_converts_on_load():
     """A flat torch-style BLIP-2 dict ('Qformer.bert.*' keys) converts in
     place (myriad from_config accepts q_former_model local files)."""
