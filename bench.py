@@ -90,10 +90,11 @@ def main():
     p.add_argument("--profile", type=str, default=None,
                    choices=["bench", "bench16", "tiny", "full"])
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--quant", type=str, default="int8", choices=["none", "int8"],
+    p.add_argument("--quant", type=str, default="int8",
+                   choices=["none", "int8", "int4"],
                    help="weight-only quantization of the frozen LLM (int8 "
-                        "halves decode HBM traffic; 'none' for the bf16 "
-                        "greedy-parity path)")
+                        "halves decode HBM traffic, int4 group-128 halves it "
+                        "again; 'none' for the bf16 greedy-parity path)")
     p.add_argument("--kv", type=str, default="int8", choices=["bf16", "int8"],
                    help="KV-cache storage (int8 halves cache traffic+memory "
                         "— what lets full-depth d32 serve at batch 16)")
@@ -128,9 +129,9 @@ def main():
     from myriad_tpu.models.vision_expert import AnomalyExpertModule, VisionExpert
 
     arch = build_profile(profile)
-    if args.quant == "int8":
+    if args.quant in ("int8", "int4"):
         arch = dataclasses.replace(
-            arch, llama=dataclasses.replace(arch.llama, weight_dtype="int8")
+            arch, llama=dataclasses.replace(arch.llama, weight_dtype=args.quant)
         )
     if args.kv == "int8":
         arch = dataclasses.replace(

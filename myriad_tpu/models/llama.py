@@ -52,8 +52,9 @@ class LlamaConfig:
     lora_rank: int = 8
     lora_alpha: int = 16
     lora_dropout: float = 0.05
-    # frozen-projection storage: "bf16" (plain Dense) or "int8"
-    # (weight-only quant — halves decode HBM traffic, ops/quant.py)
+    # frozen-projection storage: "bf16" (plain Dense), "int8" (weight-only
+    # quant — halves decode HBM traffic) or "int4" (group-wise weight-only —
+    # halves it again; ops/quant.py)
     weight_dtype: str = "bf16"
     # KV-cache storage: "bf16" or "int8" (per-token-per-head symmetric
     # quant — halves cache HBM traffic AND cache memory, the lever that
@@ -140,10 +141,34 @@ class QuantDense(nn.Module):
         return int8_matmul(x.astype(self.dtype), w8, scale, out_dtype=self.dtype)
 
 
+class Quant4Dense(nn.Module):
+    """Int4 group-wise weight-only Dense: params {w_int4 (in//2, out) uint8,
+    scale (in//g, out) fp32} — halves int8's decode HBM traffic again
+    (ops/quant.py int4 section)."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from myriad_tpu.ops.quant import int4_group, int4_matmul
+
+        d = x.shape[-1]
+        w4 = self.param("w_int4", nn.initializers.zeros,
+                        (d // 2, self.features), jnp.uint8)
+        # named 'scale4' (not 'scale') so sharding rules can tell the 2-D
+        # (groups, out) int4 layout from int8's 1-D (out,) by path alone
+        scale = self.param("scale4", nn.initializers.ones,
+                           (d // int4_group(d), self.features), jnp.float32)
+        return int4_matmul(x.astype(self.dtype), w4, scale, out_dtype=self.dtype)
+
+
 def _proj(config: LlamaConfig, features: int, dtype, param_dtype, name: str):
-    """Frozen projection: plain Dense or int8-quantized Dense."""
+    """Frozen projection: plain Dense or a quantized serving twin."""
     if config.weight_dtype == "int8":
         return QuantDense(features, dtype=dtype, name=name)
+    if config.weight_dtype == "int4":
+        return Quant4Dense(features, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=False, dtype=dtype,
                     param_dtype=param_dtype, name=name)
 
@@ -161,6 +186,8 @@ class LoraDense(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         if self.config.weight_dtype == "int8" and not self.use_bias:
             y = QuantDense(self.features, dtype=self.dtype, name="base")(x)
+        elif self.config.weight_dtype == "int4" and not self.use_bias:
+            y = Quant4Dense(self.features, dtype=self.dtype, name="base")(x)
         else:
             y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="base")(x)

@@ -119,7 +119,7 @@ def _cast_frozen(tree, compute_dtype):
     def cast(path, x):
         name = str(getattr(path[-1], "key", path[-1])) if path else ""
         arr = jnp.asarray(x)
-        if name == "scale" or not jnp.issubdtype(arr.dtype, jnp.floating):
+        if name in ("scale", "scale4") or not jnp.issubdtype(arr.dtype, jnp.floating):
             return x
         return arr.astype(compute_dtype)
 
@@ -728,8 +728,8 @@ class Myriad(BaseModel):
 
         ``weights`` maps tower names to npz paths (or already-loaded trees):
         ``{vit, qformer, llama, llama_proj, imagebind, decoder}``.  The llama
-        tree is int8-quantized on load when the model serves int8
-        (``llm_weight_dtype: int8`` — ops/quant.quantize_tree).
+        tree is quantized on load when the model serves quantized
+        (``llm_weight_dtype: int8|int4`` — ops/quant.quantize_tree).
 
         Returns an accounting report: per-tower loaded/skipped path lists
         plus ``missing`` — frozen LLM/vision leaves that no tower supplied
@@ -778,10 +778,10 @@ class Myriad(BaseModel):
                     tree["query_tokens"] = qt
                 if ln is not None:
                     tree["ln_vision"] = ln
-            if key == "llama" and self.arch.llama.weight_dtype == "int8":
+            if key == "llama" and self.arch.llama.weight_dtype in ("int8", "int4"):
                 from myriad_tpu.ops.quant import quantize_tree
 
-                tree = quantize_tree(tree)
+                tree = quantize_tree(tree, mode=self.arch.llama.weight_dtype)
             if key == "vit" and self.arch.vit_weight_dtype == "int8":
                 from myriad_tpu.ops.quant import EVA_QUANT_PATTERN, quantize_tree
 

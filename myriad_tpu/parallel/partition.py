@@ -106,6 +106,17 @@ LLAMA_RULES: List[Rule] = [
     (r"(q_proj|k_proj|v_proj)/w_int8$", P(None, "model")),
     (r"(gate_proj|up_proj)/w_int8$", P(None, "model")),
     (r"(o_proj|down_proj)/w_int8$", P("model", None)),
+    # int4 serving layout (Quant4Dense {w_int4 (in//2,out), scale4 (in//g,out)}):
+    # the packed kernel shards like its bf16 counterpart (nibble pairs and
+    # 128-wide groups never straddle a shard boundary for the 7B dims); the
+    # 2-D group scale shards with whichever kernel dim is split
+    (r"(q_proj|v_proj)/base/w_int4$", P(None, "model")),
+    (r"(q_proj|k_proj|v_proj)/w_int4$", P(None, "model")),
+    (r"(gate_proj|up_proj)/w_int4$", P(None, "model")),
+    (r"(o_proj|down_proj)/w_int4$", P("model", None)),
+    (r"(q_proj|v_proj)/base/scale4$", P(None, "model")),
+    (r"(q_proj|k_proj|v_proj|gate_proj|up_proj)/scale4$", P(None, "model")),
+    (r"(o_proj|down_proj)/scale4$", P("model", None)),
     (r"(q_proj|v_proj)/base/scale$", P("model")),
     (r"(q_proj|k_proj|v_proj|gate_proj|up_proj)/scale$", P("model")),
     (r"(o_proj|down_proj)/scale$", P()),

@@ -1,4 +1,4 @@
-"""Int8 weight-only quantization tests."""
+"""Int8/int4 weight-only quantization tests."""
 
 import dataclasses
 
@@ -9,9 +9,13 @@ import pytest
 
 from myriad_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 from myriad_tpu.ops.quant import (
+    dequant_int4,
+    int4_matmul,
     int8_matmul,
+    quantize_int4_grouped,
     quantize_per_channel,
     quantize_tree,
+    unpack_int4,
 )
 
 FP32 = dict(dtype=jnp.float32, param_dtype=jnp.float32)
@@ -63,6 +67,85 @@ def test_int8_llama_close_to_bf16(rng):
     # logits close enough that rankings rarely change on a tiny random model
     err = float(jnp.abs(full - quant).max())
     assert err < 0.1, err
+
+
+def test_int4_pack_unpack_exact(rng):
+    """Packing two nibbles per byte and unpacking is lossless on [-8, 7]."""
+    q = jnp.asarray(rng.integers(-8, 8, size=(128, 24)), jnp.int32)
+    lo, hi = q[0::2] & 15, q[1::2] & 15
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), np.asarray(q))
+
+
+def test_int4_quantize_roundtrip_error(rng):
+    w = jnp.asarray(rng.normal(size=(256, 40)), jnp.float32)
+    w4, scale = quantize_int4_grouped(w)
+    assert w4.dtype == jnp.uint8 and w4.shape == (128, 40)
+    assert scale.shape == (2, 40)  # 256 / group-128
+    deq = dequant_int4(w4, scale)
+    # int4 grid: error <= scale/2 = amax/14 per group
+    grp = np.abs(np.asarray(w)).reshape(2, 128, 40).max(axis=1)
+    bound = (grp / 14.0 + 1e-6)[:, None, :]
+    err = np.abs(np.asarray(deq - w)).reshape(2, 128, 40)
+    assert (err <= bound).all()
+
+
+def test_int4_matmul_matches_dequant(rng):
+    x = jnp.asarray(rng.normal(size=(5, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 72)), jnp.float32)
+    w4, scale = quantize_int4_grouped(w)
+    ref = x @ dequant_int4(w4, scale)
+    out_scale = float(np.abs(np.asarray(ref)).max())
+    # pallas (interpret) path: dequant-in-kernel; the group scale applies
+    # BEFORE the dot, so the dequantized weight rounds to bf16 (~0.4% per
+    # element) — bound the accumulated error relative to the output scale
+    out = int4_matmul(x, w4, scale, interpret=True, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.01 * out_scale)
+    # xla fallback requantizes int4 groups -> per-channel int8 then W8A8:
+    # error bounded by the int8 regrid + activation grid
+    out2 = int4_matmul(x, w4, scale, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=0.04 * out_scale)
+
+
+def test_int4_llama_close_to_bf16(rng):
+    """int4-quantized params through the int4 model ~= original fp32 model
+    (tiny model, loose tolerance — int4 is a 16-level grid)."""
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, **FP32)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    qcfg = dataclasses.replace(cfg, weight_dtype="int4")
+    qmodel = LlamaForCausalLM(qcfg, **FP32)
+    qparams = {"params": quantize_tree(
+        jax.tree_util.tree_map(np.asarray, params)["params"], mode="int4")}
+    ref_struct = qmodel.init_params(jax.random.PRNGKey(0))
+    assert jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda x: 0, qparams)
+    ) == jax.tree_util.tree_structure(jax.tree_util.tree_map(lambda x: 0, ref_struct))
+
+    embeds = jnp.asarray(rng.normal(size=(2, 6, 64)).astype(np.float32) * 0.1)
+    full, _ = model.apply(params, embeds)
+    quant, _ = qmodel.apply(jax.tree_util.tree_map(jnp.asarray, qparams), embeds)
+    err = float(jnp.abs(full - quant).max())
+    assert err < 0.5, err
+
+
+def test_int4_generation_runs(rng):
+    from myriad_tpu.generation import GenerationConfig, greedy_generate
+
+    cfg = LlamaConfig.tiny(weight_dtype="int4")
+    model = LlamaForCausalLM(cfg, **FP32)
+    params = model.init_params(jax.random.PRNGKey(1))
+    embeds = jnp.asarray(rng.normal(size=(1, 4, 64)).astype(np.float32))
+    tokens = greedy_generate(
+        model, params, embeds,
+        config=GenerationConfig(max_new_tokens=4, eos_token_id=-1,
+                                stop_single=-1, stop_pair=(-1, -1)),
+        cache_dtype=jnp.float32,
+    )
+    assert tokens.shape == (1, 4)
 
 
 def test_int8_generation_runs(rng):

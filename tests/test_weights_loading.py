@@ -124,6 +124,33 @@ def test_int8_quantize_on_load(donor):
     assert np.max(np.abs(deq - ref)) <= np.max(np.abs(ref)) / 127.0 + 1e-6
 
 
+def test_int4_quantize_on_load(donor):
+    """llm_weight_dtype int4: the llama npz quantizes into the Quant4Dense
+    group-wise packed layout on load with zero missing leaves."""
+    _, paths = donor
+    import dataclasses
+
+    from myriad_tpu.ops.quant import dequant_int4
+
+    arch = MyriadArch.tiny()
+    arch = dataclasses.replace(
+        arch, llama=dataclasses.replace(arch.llama, weight_dtype="int4")
+    )
+    model = Myriad(arch=arch, use_ve=False, policy=Policy.fp32(), seed=0)
+    report = model.load_pretrained_weights({"llama": paths["llama"]})
+    llama_missing = [p for p in report["missing"] if p.startswith("llama/")]
+    assert llama_missing == [], llama_missing
+    flat = ckpt_lib.flatten_dict(model.frozen["llama"])
+    w4 = [k for k in flat if k.endswith("w_int4")]
+    assert w4 and all(np.asarray(flat[k]).dtype == np.uint8 for k in w4)
+    donor_tree = ckpt_lib.load_params(paths["llama"])
+    ref = np.asarray(donor_tree["model"]["layers_0"]["mlp"]["gate_proj"]["kernel"])
+    q = model.frozen["llama"]["model"]["layers_0"]["mlp"]["gate_proj"]
+    deq = np.asarray(dequant_int4(q["w_int4"], q["scale4"]))
+    # int4 grid: |err| <= group amax / 14
+    assert np.max(np.abs(deq - ref)) <= np.max(np.abs(ref)) / 14.0 + 1e-6
+
+
 def test_int8_vision_towers_quantize_on_load(donor):
     """vit_weight_dtype/ve_weight_dtype int8: the fp32 tower npz quantizes
     into the QuantDense layout on load, with zero missing leaves and
