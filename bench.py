@@ -107,6 +107,13 @@ def main():
                         "LoRA finetune step samples/sec (BASELINE config 4)")
     p.add_argument("--breakdown", action="store_true",
                    help="additionally time VE-maps / prefill / decode phases")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="speculative decoding: verify K n-gram-drafted "
+                        "tokens per weight pass (transcript-exact; 0=off)")
+    p.add_argument("--spec-oracle", action="store_true",
+                   help="draft from a prior greedy run of the same model "
+                        "(100%% acceptance upper bound; transcript equality "
+                        "asserted)")
     args = p.parse_args()
 
     import jax
@@ -202,8 +209,40 @@ def main():
             cache_dtype=cache_dtype, rng=rng_key,
         )
 
-    def eval_step(images):
-        return eval_step_fn(params, ve_params, text_feats, images)
+    if args.spec:
+        from myriad_tpu.generation import speculative_generate
+
+        spec_lookup = jnp.broadcast_to(after_j[None, :], (b, after_j.shape[0]))
+
+        @__import__("jax").jit
+        def spec_step_fn(params, ve_params, text_feats, images, oracle):
+            maps, _ = ve_module.apply(ve_params, images, text_feats,
+                                      method=AnomalyExpertModule.zero_shot)
+            embeds = model.module.apply(
+                {"params": params}, images, maps, before_j, after_j, 1,
+                method=MyriadModule.prefill_embeds,
+            )
+            return speculative_generate(
+                llama, {"params": params["llama"]}, embeds, config=gen_cfg,
+                spec_k=args.spec, cache_dtype=cache_dtype,
+                lookup_ids=None if args.spec_oracle else spec_lookup,
+                oracle_drafts=oracle if args.spec_oracle else None,
+            )
+
+        oracle = None
+        if args.spec_oracle:
+            # acceptance=100% upper bound: draft the model's own greedy
+            # transcript from a first (unmeasured) run — token-identity is
+            # asserted, so the measured number is the spec-decode machinery
+            # at full acceptance, not a different workload
+            oracle = eval_step_fn(params, ve_params, text_feats, images)
+            np.asarray(oracle)
+
+        def eval_step(images):
+            return spec_step_fn(params, ve_params, text_feats, images, oracle)
+    else:
+        def eval_step(images):
+            return eval_step_fn(params, ve_params, text_feats, images)
 
     # warmup / compile
     t0 = time.time()
@@ -211,6 +250,11 @@ def main():
     np.asarray(tokens)
     compile_s = time.time() - t0
     print(f"[bench] first step (compile) {compile_s:.1f}s", file=sys.stderr)
+    if args.spec and args.spec_oracle:
+        ref = np.asarray(oracle)
+        got = np.asarray(tokens)
+        assert (ref == got).all(), "spec transcript diverged from greedy"
+        print("[bench] spec transcript == greedy transcript", file=sys.stderr)
 
     times = []
     for _ in range(args.iters):

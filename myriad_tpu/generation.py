@@ -79,8 +79,10 @@ def greedy_generate(
     max_len = _round_up(p + cfg.max_new_tokens, 128)
     cache = init_cache(model.config, b, max_len, cache_dtype)
 
-    # --- prefill ---------------------------------------------------------
-    logits, cache = model.apply(params, inputs_embeds, cache=cache)
+    # --- prefill (last-position logits only) ------------------------------
+    logits, cache = model.apply(
+        params, inputs_embeds, cache=cache, method=LlamaForCausalLM.prefill
+    )
     last = _select_token(logits[:, -1].astype(jnp.float32), cfg, rng)
 
     # --- decode loop ------------------------------------------------------
@@ -109,6 +111,160 @@ def greedy_generate(
     step, last, prev, done, cache, tokens, rng = jax.lax.while_loop(cond, body, state)
     tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
     return tokens
+
+
+def speculative_generate(
+    model: LlamaForCausalLM,
+    params,
+    inputs_embeds: jnp.ndarray,
+    *,
+    config: Optional[GenerationConfig] = None,
+    spec_k: int = 4,
+    lookup_ids: Optional[jnp.ndarray] = None,
+    oracle_drafts: Optional[jnp.ndarray] = None,
+    cache_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Greedy generation with self-speculative decoding — transcript-exact.
+
+    Decode on one chip is bound by streaming the frozen weights per token;
+    verifying ``spec_k`` drafted tokens in one forward pass reads the
+    weights ONCE for up to ``spec_k + 1`` emitted tokens.  Drafts come from
+    an n-gram lookup over the row's own generated tokens plus the optional
+    ``lookup_ids`` prompt corpus (prompt-lookup decoding: anomaly-QA
+    transcripts are highly templated, so 2-gram continuations hit often);
+    ``oracle_drafts`` (B, >=max_new_tokens) bypasses the lookup and is used
+    by tests/benchmarks to pin the acceptance rate at 100%.
+
+    Every emitted token is verified greedy-argmax — output is bit-identical
+    to ``greedy_generate`` (tested), rows accept independently (the KV
+    cache carries per-row write indices; stale entries from a rollback are
+    masked by position-causality, llama.py mask note).
+    """
+    cfg = config or GenerationConfig()
+    assert not cfg.do_sample, "speculative decoding is greedy-only"
+    K = int(spec_k)
+    assert K >= 1
+    b, p, _ = inputs_embeds.shape
+    max_new = cfg.max_new_tokens
+    max_len = _round_up(p + max_new + K + 1, 128)
+    cache = init_cache(model.config, b, max_len, cache_dtype)
+
+    # --- prefill (scalar write index, rows aligned) -----------------------
+    logits, cache = model.apply(
+        params, inputs_embeds, cache=cache, method=LlamaForCausalLM.prefill
+    )
+    last = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(jnp.int32)
+    # switch to per-row write indices for ragged acceptance
+    cache = tuple(dict(c, index=jnp.full((b,), p, jnp.int32)) for c in cache)
+
+    buf_len = max_new + K + 1  # slack so the last window never clips
+    tokens = jnp.full((b, buf_len), cfg.pad_token_id, jnp.int32)
+    if lookup_ids is not None:
+        lookup_ids = jnp.broadcast_to(
+            jnp.asarray(lookup_ids, jnp.int32),
+            (b, jnp.asarray(lookup_ids).shape[-1]),
+        )
+    lp = 0 if lookup_ids is None else lookup_ids.shape[1]
+    if oracle_drafts is not None:
+        oracle_drafts = jnp.pad(
+            jnp.asarray(oracle_drafts, jnp.int32), [(0, 0), (0, K + 1)]
+        )
+
+    done0 = (last == cfg.eos_token_id) | (last == cfg.stop_single)
+    state = dict(
+        length=jnp.full((b,), p, jnp.int32),   # valid context fed so far
+        n_emit=jnp.zeros((b,), jnp.int32),     # output tokens written
+        last=last,
+        prev=jnp.full((b,), -1, jnp.int32),    # token before `last` (2-gram)
+        done=done0,
+        cache=cache,
+        tokens=tokens,
+    )
+
+    def draft_tokens(st):
+        if oracle_drafts is not None:
+            # `last` is output token #n_emit, so drafts continue at #n_emit+1
+            idx = (st["n_emit"] + 1)[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+            return jnp.take_along_axis(oracle_drafts, idx, axis=1)
+        corpus = (
+            st["tokens"] if lookup_ids is None
+            else jnp.concatenate([lookup_ids, st["tokens"]], axis=1)
+        )
+        L = corpus.shape[1]
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        cur = st["n_emit"] + lp  # per-row filled corpus length
+        # most recent 2-gram (prev,last) match, falling back to 1-gram(last)
+        nxt = jnp.concatenate(
+            [corpus[:, 1:], jnp.full((b, 1), -2, jnp.int32)], axis=1
+        )
+        m2 = (corpus == st["prev"][:, None]) & (nxt == st["last"][:, None]) & (
+            pos + 1 < cur[:, None]
+        )
+        m1 = (corpus == st["last"][:, None]) & (pos < cur[:, None])
+        j2 = jnp.max(jnp.where(m2, pos, -1), axis=1)
+        j1 = jnp.max(jnp.where(m1, pos, -1), axis=1)
+        start = jnp.where(j2 >= 0, j2 + 2, j1 + 1)  # first token of the draft
+        idx = jnp.clip(start[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
+                       0, L - 1)
+        return jnp.take_along_axis(corpus, idx, axis=1)
+
+    def cond(st):
+        return ~jnp.all(st["done"])
+
+    def body(st):
+        draft = draft_tokens(st)  # (B, K)
+        feed = jnp.concatenate([st["last"][:, None], draft], axis=1)  # (B, K+1)
+        positions = st["length"][:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+        embeds = model.apply(params, feed, method=LlamaForCausalLM.embed)
+        logits, cache = model.apply(
+            params, embeds, positions=positions, cache=st["cache"]
+        )
+        g = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)  # (B, K+1)
+        chain = jnp.concatenate([st["last"][:, None], g], axis=1)  # (B, K+2)
+        # accepted = leading drafts that match the model's own greedy tokens
+        match = feed[:, 1:] == g[:, :-1]  # (B, K)
+        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # (B,)
+
+        # emit chain[0..a] with greedy_generate's exact stop semantics
+        window = jnp.full((b, K + 1), cfg.pad_token_id, jnp.int32)
+
+        def emit(j, carry):
+            window, done_j, n_new = carry
+            c_j = chain[:, j]
+            c_n = chain[:, j + 1]
+            valid = (j <= a) & ~done_j
+            window = window.at[:, j].set(jnp.where(valid, c_j, cfg.pad_token_id))
+            stopped = (
+                (c_n == cfg.eos_token_id)
+                | (c_n == cfg.stop_single)
+                | ((c_j == cfg.stop_pair[0]) & (c_n == cfg.stop_pair[1]))
+            )
+            return window, done_j | (valid & stopped), n_new + valid.astype(jnp.int32)
+
+        done_j = st["done"]
+        n_new = jnp.zeros((b,), jnp.int32)
+        for j in range(K + 1):  # static unroll (K is small)
+            window, done_j, n_new = emit(j, (window, done_j, n_new))
+
+        # rows already done park their all-pad window in the buffer slack
+        # past max_new so they never clobber previously-written tokens
+        offset = jnp.where(st["done"], max_new, jnp.minimum(st["n_emit"], max_new - 1))
+        tokens = jax.vmap(
+            lambda row, w, o: jax.lax.dynamic_update_slice(row, w, (o,))
+        )(st["tokens"], window, offset)
+
+        n_emit = st["n_emit"] + n_new
+        length = st["length"] + a + 1
+        done = done_j | (n_emit >= max_new)
+        new_last = jnp.take_along_axis(chain, (a + 1)[:, None], axis=1)[:, 0]
+        new_prev = jnp.take_along_axis(chain, a[:, None], axis=1)[:, 0]
+        # restore true per-row frontiers (attention advanced them by K+1)
+        cache = tuple(dict(c, index=length) for c in cache)
+        return dict(length=length, n_emit=n_emit, last=new_last, prev=new_prev,
+                    done=done, cache=cache, tokens=tokens)
+
+    st = jax.lax.while_loop(cond, body, state)
+    return st["tokens"][:, :max_new]
 
 
 def decode_stop_trimmed(token_rows, tokenizer, cfg: Optional[GenerationConfig] = None):

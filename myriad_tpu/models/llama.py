@@ -245,26 +245,37 @@ class LlamaAttention(nn.Module):
         v = v.transpose(0, 2, 1, 3)
 
         new_cache = None
+        k_sc = v_sc = None
         if cache is not None:
             # preallocated (B, Hk, Tmax, D) buffers; write at cache["index"]
+            # — a scalar in plain decode, or a (B,) vector when rows advance
+            # independently (speculative decoding's per-row acceptance)
             idx = cache["index"]
+
+            def write(buf, upd):
+                upd = upd.astype(buf.dtype)
+                if getattr(idx, "ndim", 0) == 1:
+                    return jax.vmap(
+                        lambda c, u, i: jax.lax.dynamic_update_slice(c, u, (0, i, 0))
+                    )(buf, upd, idx)
+                return jax.lax.dynamic_update_slice(buf, upd, (0, 0, idx, 0))
+
             if "k_scale" in cache:
-                # int8 KV: symmetric per-(batch, head, position) quant — the
-                # new slice is quantized at write, the cache dequantizes at
-                # read (XLA fuses the convert*scale into the attention dots)
+                # int8 KV: symmetric per-(batch, head, position) quant at
+                # write; the cache is NEVER dequantized as a tensor — the
+                # scales ride into mha and fold into the (small) attention
+                # logits/probs, so KV streams from HBM at int8 width
                 k8, ks = quantize_kv(k)
                 v8, vs = quantize_kv(v)
-                ck = jax.lax.dynamic_update_slice(cache["k"], k8, (0, 0, idx, 0))
-                cv = jax.lax.dynamic_update_slice(cache["v"], v8, (0, 0, idx, 0))
-                cks = jax.lax.dynamic_update_slice(cache["k_scale"], ks, (0, 0, idx, 0))
-                cvs = jax.lax.dynamic_update_slice(cache["v_scale"], vs, (0, 0, idx, 0))
+                ck, cv = write(cache["k"], k8), write(cache["v"], v8)
+                cks = write(cache["k_scale"], ks)
+                cvs = write(cache["v_scale"], vs)
                 new_cache = {"k": ck, "v": cv, "k_scale": cks, "v_scale": cvs,
                              "index": idx + t}
-                k_all = ck.astype(self.dtype) * cks.astype(self.dtype)
-                v_all = cv.astype(self.dtype) * cvs.astype(self.dtype)
+                k_all, v_all = ck, cv
+                k_sc, v_sc = cks, cvs
             else:
-                ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0))
-                cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, idx, 0))
+                ck, cv = write(cache["k"], k), write(cache["v"], v)
                 new_cache = {"k": ck, "v": cv, "index": idx + t}
                 k_all, v_all = ck, cv
         else:
@@ -274,15 +285,20 @@ class LlamaAttention(nn.Module):
             rep = h // hk
             k_all = jnp.repeat(k_all, rep, axis=1)
             v_all = jnp.repeat(v_all, rep, axis=1)
+            if k_sc is not None:
+                k_sc = jnp.repeat(k_sc, rep, axis=1)
+                v_sc = jnp.repeat(v_sc, rep, axis=1)
 
         from myriad_tpu.ops.attention import mha
 
         out = mha(
             q,
-            k_all.astype(q.dtype),
-            v_all.astype(q.dtype),
+            k_all if k_sc is not None else k_all.astype(q.dtype),
+            v_all if v_sc is not None else v_all.astype(q.dtype),
             mask=mask,
             scale=d**-0.5,
+            k_scale=k_sc,
+            v_scale=v_sc,
         )
         out = merge_heads(out)
         out = dense(cfg.hidden_size, "o_proj")(out)
@@ -368,22 +384,22 @@ class LlamaModel(nn.Module):
             start = 0
 
         if positions is None:
-            positions = start + jnp.arange(t, dtype=jnp.int32)[None, :]
-            positions = jnp.broadcast_to(positions, (b, t))
+            arange = jnp.arange(t, dtype=jnp.int32)
+            if getattr(start, "ndim", 0) == 1:  # per-row cache indices
+                positions = start[:, None] + arange[None, :]
+            else:
+                positions = jnp.broadcast_to(start + arange[None, :], (b, t))
 
-        # additive mask (B, 1, T, T_kv): causal w.r.t. absolute positions,
-        # combined with the key padding mask.
-        q_pos = start + jnp.arange(t, dtype=jnp.int32)
+        # additive mask (B, 1, T, T_kv): causal w.r.t. each query's absolute
+        # position.  With a cache this single predicate also excludes every
+        # slot at/after the write frontier (cache entries live at positions
+        # < the query's), so stale entries from a speculative rollback are
+        # never attended to.  Combined with the optional key-padding mask.
         k_pos = jnp.arange(kv_len, dtype=jnp.int32)
-        causal = k_pos[None, :] <= q_pos[:, None]  # (T, T_kv)
-        allowed = jnp.broadcast_to(causal[None, None], (b, 1, t, kv_len))
+        allowed = k_pos[None, None, None, :] <= positions[:, None, :, None]
         if attention_mask is not None:
             key_ok = attention_mask[:, None, None, :].astype(bool)
             allowed = jnp.logical_and(allowed, key_ok)
-        if cache is not None:
-            # positions beyond the write index are invalid
-            valid = k_pos[None, None, None, :] < (start + t)
-            allowed = jnp.logical_and(allowed, valid)
         mask = jnp.where(allowed, 0.0, -1e9).astype(jnp.float32)
 
         hidden = inputs_embeds.astype(self.dtype)
@@ -419,6 +435,21 @@ class LlamaForCausalLM(nn.Module):
         return jnp.dot(
             hidden, self.lm_head.astype(hidden.dtype), preferred_element_type=jnp.float32
         )
+
+    def prefill(
+        self,
+        inputs_embeds: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[Tuple[Cache, ...]] = None,
+    ):
+        """Prefill returning logits for the LAST position only.
+
+        Generation never reads the other positions; materializing the full
+        (B, P, vocab) fp32 logits costs ~0.5 GiB + 0.5 TFLOP per 32-image
+        batch at Vicuna scale for nothing.
+        """
+        hidden, new_cache = self.model(inputs_embeds, attention_mask, cache=cache)
+        return self.logits(hidden[:, -1:]), new_cache
 
     def __call__(
         self,

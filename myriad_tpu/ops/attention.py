@@ -14,13 +14,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _xla_mha(q, k, v, mask, scale):
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+def _xla_mha(q, k, v, mask, scale, k_scale=None, v_scale=None):
+    # quantized KV (int8 payload + per-(b,h,t,1) scales): the scales fold
+    # into the (B,H,Tq,Tk) logits/probs instead of dequantizing the
+    # (B,H,Tk,D) cache — the int8->bf16 convert fuses into the dots, so the
+    # cache streams from HBM at int8 width and no bf16 copy materializes
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    if k_scale is not None:
+        logits = logits * jnp.swapaxes(k_scale, -1, -2).astype(logits.dtype)
     logits = logits * scale
     if mask is not None:
         logits = logits + mask.astype(logits.dtype)
     probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    if v_scale is not None:
+        probs = probs * jnp.swapaxes(v_scale, -1, -2).astype(probs.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v.astype(q.dtype))
 
 
 def _on_tpu() -> bool:
@@ -38,11 +48,15 @@ def mha(
     mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Multi-head attention.
 
     q: (B, H, Tq, D); k/v: (B, H, Tk, D); mask additive, broadcastable to
-    (B, H, Tq, Tk); returns (B, H, Tq, D) in v's dtype.
+    (B, H, Tq, Tk); returns (B, H, Tq, D) in q's dtype.  k_scale/v_scale
+    (B, H, Tk, 1) carry per-position dequant scales for an int8 KV cache
+    (folded into logits/probs, see _xla_mha).
     """
     import os
 
@@ -53,15 +67,18 @@ def mha(
         # attention pipelines the batched heads better than the per-(b,h)
         # Pallas program (8.6 vs 10.3 ms/decode-step at d16/b16); the
         # kernel wins only once the cache is long enough to be
-        # bandwidth-dominant per head
+        # bandwidth-dominant per head.  The quantized-KV path stays on XLA
+        # (the kernel reads bf16 KV only).
         use_pallas = (
             _on_tpu()
             and tq == 1
+            and k_scale is None
+            and v_scale is None
             and k.shape[2] >= 2048
             and os.environ.get("MYRIAD_DISABLE_PALLAS", "0") != "1"
         ) or os.environ.get("MYRIAD_FORCE_PALLAS", "0") == "1"
-    if use_pallas:
+    if use_pallas and k_scale is None and v_scale is None:
         from myriad_tpu.ops.decode_attention import decode_attention
 
         return decode_attention(q, k, v, mask=mask, scale=scale)
-    return _xla_mha(q, k, v, mask, scale)
+    return _xla_mha(q, k, v, mask, scale, k_scale, v_scale)
