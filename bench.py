@@ -148,6 +148,7 @@ def main():
         arch = dataclasses.replace(
             arch,
             vit_weight_dtype="int8",
+            qformer_weight_dtype="int8",
             imagebind=dataclasses.replace(arch.imagebind, weight_dtype="int8"),
         )
     b = args.batch if profile != "tiny" else 2

@@ -76,7 +76,7 @@ def greedy_generate(
     cfg = config or GenerationConfig()
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     b, p, _ = inputs_embeds.shape
-    max_len = _round_up(p + cfg.max_new_tokens, 128)
+    max_len = _round_up(p + cfg.max_new_tokens, 16)
     cache = init_cache(model.config, b, max_len, cache_dtype)
 
     # --- prefill (last-position logits only) ------------------------------
@@ -146,7 +146,7 @@ def speculative_generate(
     assert K >= 1
     b, p, _ = inputs_embeds.shape
     max_new = cfg.max_new_tokens
-    max_len = _round_up(p + max_new + K + 1, 128)
+    max_len = _round_up(p + max_new + K + 1, 16)
     cache = init_cache(model.config, b, max_len, cache_dtype)
 
     # --- prefill (scalar write index, rows aligned) -----------------------

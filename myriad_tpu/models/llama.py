@@ -249,11 +249,28 @@ class LlamaAttention(nn.Module):
         if cache is not None:
             # preallocated (B, Hk, Tmax, D) buffers; write at cache["index"]
             # — a scalar in plain decode, or a (B,) vector when rows advance
-            # independently (speculative decoding's per-row acceptance)
+            # independently (speculative decoding's per-row acceptance).
+            # A FRESH cache (write index still the trace-time-concrete 0
+            # that init_cache created) is built by zero-PADDING the new
+            # slice instead of updating a zeros buffer: the pad has a single
+            # producer, so XLA never materializes a second full-cache copy
+            # during prefill (measured ~1.3 GiB of temp at 7B/batch 16).
+            # Once the index is a traced loop-carry (or any nonzero), the
+            # in-place dynamic_update_slice path runs as before.
             idx = cache["index"]
+            fresh = (
+                not isinstance(idx, jax.core.Tracer)
+                and getattr(idx, "ndim", 1) == 0
+                and int(idx) == 0
+            )
+            max_t = cache["k"].shape[2]
 
             def write(buf, upd):
                 upd = upd.astype(buf.dtype)
+                if fresh:
+                    return jnp.pad(
+                        upd, [(0, 0), (0, 0), (0, max_t - upd.shape[2]), (0, 0)]
+                    )
                 if getattr(idx, "ndim", 0) == 1:
                     return jax.vmap(
                         lambda c, u, i: jax.lax.dynamic_update_slice(c, u, (0, i, 0))
@@ -489,13 +506,17 @@ def init_cache(config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
     """
     shape = (batch, config.kv_heads, max_len, config.dims_per_head)
     if dtype in ("int8", jnp.int8):
+        # scales store fp16 (they are cast to fp32 at the logits/probs
+        # multiply): fp16's 2^-11 relative grid is far below the int8
+        # payload's own quantization error, and the buffers are
+        # per-(b,h,t) x 2 x layers — ~120 MiB at 7B/batch 28
         sshape = shape[:-1] + (1,)
         return tuple(
             {
                 "k": jnp.zeros(shape, jnp.int8),
                 "v": jnp.zeros(shape, jnp.int8),
-                "k_scale": jnp.zeros(sshape, jnp.float32),
-                "v_scale": jnp.zeros(sshape, jnp.float32),
+                "k_scale": jnp.zeros(sshape, jnp.float16),
+                "v_scale": jnp.zeros(sshape, jnp.float16),
                 "index": jnp.int32(0),
             }
             for _ in range(config.num_layers)

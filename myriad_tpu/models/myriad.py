@@ -70,6 +70,9 @@ class MyriadArch:
     # "int8": weight-only quantization of the frozen EVA tower (the
     # ImageBind tower quantizes via imagebind.weight_dtype)
     vit_weight_dtype: str = "bf16"
+    # "int8": weight-only quantization of the frozen Q-Former (~190 MiB
+    # saved — part of what fits batch 28 on one chip)
+    qformer_weight_dtype: str = "bf16"
     llama: LlamaConfig = dataclasses.field(default_factory=LlamaConfig)
     imagebind: ImageBindConfig = dataclasses.field(default_factory=ImageBindConfig)
 
@@ -153,7 +156,8 @@ class MyriadModule(nn.Module):
         self.qformer = QFormer(
             hidden_size=a.qformer_hidden, num_layers=a.qformer_layers,
             num_heads=a.qformer_heads, intermediate_size=a.qformer_intermediate,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="qformer",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            weight_dtype=a.qformer_weight_dtype, name="qformer",
         )
         self.query_tokens = self.param(
             "query_tokens", nn.initializers.normal(0.02),
@@ -281,6 +285,7 @@ class Myriad(BaseModel):
         clip_bpe_path: str = "",
         vis_expert: str = "adrefexpert",
         vis_expert_args: Optional[Dict] = None,
+        spec_k: int = 0,
     ):
         self.arch = arch or MyriadArch.full()
         if use_lora:
@@ -300,6 +305,9 @@ class Myriad(BaseModel):
         self.k_shot = k_shot
         self.max_txt_len = max_txt_len
         self.end_sym = end_sym
+        # speculative decoding: verify spec_k drafted tokens per weight pass
+        # (transcript-exact, generation.py). 0 = plain greedy.
+        self.spec_k = int(spec_k)
         policy = policy or Policy.bf16()
         self.policy = policy
 
@@ -596,6 +604,47 @@ class Myriad(BaseModel):
             trainable, frozen, image, maps, before, after, text_ids, text_mask
         )
 
+    def _spec_lookup_ids(self, after: np.ndarray) -> np.ndarray:
+        """Lookup corpus for prompt-lookup speculative decoding: the post-
+        image prompt ids plus the task's templated answer sentences (real
+        transcripts open with one of them, anomaly_detection.py:31-34), so
+        2-gram continuations hit from the very first decode rounds."""
+        from myriad_tpu.datasets.anomaly_detection import (
+            ABNORMAL_DESCRIBE,
+            NORMAL_DESCRIBE,
+        )
+
+        ids = list(np.asarray(after).reshape(-1))
+        for t in (NORMAL_DESCRIBE, ABNORMAL_DESCRIBE):
+            t_ids = self.llama_tokenizer(t + self.end_sym,
+                                         add_special_tokens=False)["input_ids"]
+            if t_ids and isinstance(t_ids[0], list):  # HF batch convention
+                t_ids = t_ids[0]
+            ids.extend(int(i) for i in t_ids)
+        return np.asarray(ids, np.int32)
+
+    def _decode_fn(self, llama, gen_cfg, cache_dtype, lookup_ids):
+        """greedy_generate, or its speculative twin when spec_k > 0."""
+        from myriad_tpu.generation import greedy_generate, speculative_generate
+
+        if self.spec_k > 0 and not gen_cfg.do_sample:
+            spec_k = self.spec_k
+            lookup = jnp.asarray(lookup_ids)
+
+            def decode(params, embeds, rng):
+                return speculative_generate(
+                    llama, params, embeds, config=gen_cfg, spec_k=spec_k,
+                    lookup_ids=lookup, cache_dtype=cache_dtype,
+                )
+
+            return decode
+
+        def decode(params, embeds, rng):
+            return greedy_generate(llama, params, embeds, config=gen_cfg,
+                                   rng=rng, cache_dtype=cache_dtype)
+
+        return decode
+
     def generate(self, samples: Dict, **generate_kwargs) -> Dict:
         """Greedy (or top-p) decode (myriad.py:433-454).
 
@@ -626,13 +675,16 @@ class Myriad(BaseModel):
 
         # one jit for the whole pipeline (prefill + decode while-loop) —
         # op-by-op dispatch of the decode loop is latency-bound on remote TPU
-        key = ("generate", stage, image.shape, before.shape, after.shape, gen_cfg)
+        key = ("generate", stage, image.shape, before.shape, after.shape, gen_cfg,
+               self.spec_k)
         if key not in self._jit_cache:
             module = self.module
             llama = LlamaForCausalLM(self.arch.llama, self.policy.compute_dtype,
                                      self.policy.param_dtype)
             cache_dtype = ("int8" if self.arch.llama.kv_cache_dtype == "int8"
                            else self.policy.compute_dtype)
+            decode = self._decode_fn(llama, gen_cfg, cache_dtype,
+                                     self._spec_lookup_ids(after))
 
             @jax.jit
             def gen(params, image, maps, before, after, rng):
@@ -640,10 +692,7 @@ class Myriad(BaseModel):
                     {"params": params}, image, maps, before, after, stage,
                     method=MyriadModule.prefill_embeds,
                 )
-                return greedy_generate(
-                    llama, {"params": params["llama"]}, embeds, config=gen_cfg,
-                    rng=rng, cache_dtype=cache_dtype,
-                )
+                return decode({"params": params["llama"]}, embeds, rng)
 
             self._jit_cache[key] = gen
         tokens = self._jit_cache[key](
@@ -676,13 +725,15 @@ class Myriad(BaseModel):
         ref_bank = tuple(ve._ref_bank) if one_shot else ()
 
         key = ("fused_gen", stage, one_shot, image.shape, image.dtype.str,
-               before.shape, after.shape, gen_cfg)
+               before.shape, after.shape, gen_cfg, self.spec_k)
         if key not in self._jit_cache:
             module, ve_module = self.module, ve.module
             llama = LlamaForCausalLM(self.arch.llama, self.policy.compute_dtype,
                                      self.policy.param_dtype)
             cache_dtype = ("int8" if self.arch.llama.kv_cache_dtype == "int8"
                            else self.policy.compute_dtype)
+            decode = self._decode_fn(llama, gen_cfg, cache_dtype,
+                                     self._spec_lookup_ids(after))
 
             @jax.jit
             def gen(params, ve_params, text_feats, ref_bank, scene_idx,
@@ -701,10 +752,7 @@ class Myriad(BaseModel):
                     {"params": params}, image, maps, before, after, stage,
                     method=MyriadModule.prefill_embeds,
                 )
-                tokens = greedy_generate(
-                    llama, {"params": params["llama"]}, embeds, config=gen_cfg,
-                    rng=rng, cache_dtype=cache_dtype,
-                )
+                tokens = decode({"params": params["llama"]}, embeds, rng)
                 return tokens, maps
 
             self._jit_cache[key] = gen
@@ -786,6 +834,10 @@ class Myriad(BaseModel):
                 from myriad_tpu.ops.quant import EVA_QUANT_PATTERN, quantize_tree
 
                 tree = quantize_tree(tree, EVA_QUANT_PATTERN)
+            if key == "qformer" and self.arch.qformer_weight_dtype == "int8":
+                from myriad_tpu.ops.quant import QFORMER_QUANT_PATTERN, quantize_tree
+
+                tree = quantize_tree(tree, QFORMER_QUANT_PATTERN)
             loaded, skipped = self.load_frozen(tree, prefix=prefix)
             report["loaded"][key] = loaded
             report["skipped"][key] = skipped
@@ -883,6 +935,9 @@ class Myriad(BaseModel):
             arch = dataclasses.replace(
                 arch, llama=dataclasses.replace(arch.llama, kv_cache_dtype=kv_dtype)
             )
+        if cfg.get("qformer_weight_dtype"):
+            arch = dataclasses.replace(
+                arch, qformer_weight_dtype=cfg.get("qformer_weight_dtype"))
         if cfg.get("vit_weight_dtype"):
             arch = dataclasses.replace(arch,
                                        vit_weight_dtype=cfg.get("vit_weight_dtype"))
@@ -930,6 +985,9 @@ class Myriad(BaseModel):
             vis_expert=cfg.get("vis_expert", "adrefexpert"),
             vis_expert_args=(dict(cfg.get("vis_expert_args"))
                              if cfg.get("vis_expert_args") else None),
+            # speculative decoding: verify llm_spec_k drafted tokens per
+            # weight pass during generate (transcript-exact; 0 = off)
+            spec_k=cfg.get("llm_spec_k", 0),
         )
 
         # pretrained tower bootstrap: `weights: {vit, qformer, llama,

@@ -20,7 +20,14 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from myriad_tpu.models.layers import Dtype, dot_attention, merge_heads, split_heads, trunc_normal
+from myriad_tpu.models.layers import (
+    Dtype,
+    dot_attention,
+    maybe_quant_dense,
+    merge_heads,
+    split_heads,
+    trunc_normal,
+)
 
 
 class BertSelfAttention(nn.Module):
@@ -30,6 +37,7 @@ class BertSelfAttention(nn.Module):
     num_heads: int
     dtype: Dtype
     param_dtype: Dtype
+    weight_dtype: str = "bf16"  # "int8" -> QuantDense serving twin
 
     @nn.compact
     def __call__(
@@ -40,16 +48,16 @@ class BertSelfAttention(nn.Module):
     ) -> jnp.ndarray:
         dim = hidden.shape[-1]
         kv = hidden if kv is None else kv
-        dense = lambda n: nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                                   kernel_init=trunc_normal(), name=n)
+        dense = lambda n: maybe_quant_dense(
+            self.weight_dtype, dim, use_bias=True, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=trunc_normal(), name=n)
         q = split_heads(dense("query")(hidden), self.num_heads)
         k = split_heads(dense("key")(kv), self.num_heads)
         v = split_heads(dense("value")(kv), self.num_heads)
         out = dot_attention(q, k, v, mask=mask)
         out = merge_heads(out)
         # BertSelfOutput: dense + residual + LayerNorm (post-LN)
-        out = nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                       kernel_init=trunc_normal(), name="attn_out")(out)
+        out = dense("attn_out")(out)
         out = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, param_dtype=self.param_dtype,
                            name="attn_ln")((out + hidden).astype(jnp.float32))
         return out.astype(self.dtype)
@@ -61,15 +69,17 @@ class BertQueryFfn(nn.Module):
     intermediate_size: int
     dtype: Dtype
     param_dtype: Dtype
+    weight_dtype: str = "bf16"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
-        h = nn.Dense(self.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype,
-                     kernel_init=trunc_normal(), name="intermediate_query")(x)
+        dense = lambda f, n: maybe_quant_dense(
+            self.weight_dtype, f, use_bias=True, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=trunc_normal(), name=n)
+        h = dense(self.intermediate_size, "intermediate_query")(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                     kernel_init=trunc_normal(), name="output_query")(h)
+        h = dense(dim, "output_query")(h)
         h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="ffn_ln")((h + x).astype(jnp.float32))
         return h.astype(self.dtype)
@@ -81,6 +91,7 @@ class QFormerLayer(nn.Module):
     has_cross_attention: bool
     dtype: Dtype
     param_dtype: Dtype
+    weight_dtype: str = "bf16"
 
     @nn.compact
     def __call__(
@@ -90,14 +101,14 @@ class QFormerLayer(nn.Module):
         encoder_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         hidden = BertSelfAttention(self.num_heads, self.dtype, self.param_dtype,
-                                   name="attention")(hidden)
+                                   self.weight_dtype, name="attention")(hidden)
         if self.has_cross_attention:
             assert encoder_states is not None, "cross-attention layer needs image states"
             hidden = BertSelfAttention(self.num_heads, self.dtype, self.param_dtype,
-                                       name="crossattention")(hidden, kv=encoder_states,
-                                                              mask=encoder_mask)
+                                       self.weight_dtype, name="crossattention")(
+                                           hidden, kv=encoder_states, mask=encoder_mask)
         return BertQueryFfn(self.intermediate_size, self.dtype, self.param_dtype,
-                            name="ffn")(hidden)
+                            self.weight_dtype, name="ffn")(hidden)
 
 
 class QFormer(nn.Module):
@@ -110,6 +121,7 @@ class QFormer(nn.Module):
     cross_attention_freq: int = 2
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    weight_dtype: str = "bf16"  # "int8" -> QuantDense serving twin
 
     @nn.compact
     def __call__(
@@ -132,6 +144,7 @@ class QFormer(nn.Module):
                 has_cross_attention=(i % self.cross_attention_freq == 0),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                weight_dtype=self.weight_dtype,
                 name=f"layer_{i}",
             )(x, encoder_states.astype(self.dtype), encoder_mask)
         return x

@@ -311,6 +311,10 @@ LLAMA_QUANT_PATTERN = (
 EVA_QUANT_PATTERN = r"(qkv|attn/proj|fc1|fc2)/kernel$"
 # ImageBind trunk projections; head_proj (the CLIP-space head) stays bf16
 IMAGEBIND_QUANT_PATTERN = r"(in_proj|out_proj|fc1|fc2)/kernel$"
+# Q-Former projections (self/cross attention + query FFN)
+QFORMER_QUANT_PATTERN = (
+    r"(query|key|value|attn_out|intermediate_query|output_query)/kernel$"
+)
 
 
 def quantize_tree(params, path_pattern: str = LLAMA_QUANT_PATTERN,

@@ -52,7 +52,7 @@ def kv_cache_bytes_per_chip(
     elems = batch * heads * max_len * config.dims_per_head
     if dtype in ("int8", jnp.int8):
         per_layer = elems * 1 * 2  # int8 k+v
-        per_layer += batch * heads * max_len * 1 * 4 * 2  # fp32 scales
+        per_layer += batch * heads * max_len * 1 * 2 * 2  # fp16 scales
     else:
         per_layer = elems * jnp.dtype(dtype).itemsize * 2
     return per_layer * config.num_layers

@@ -155,6 +155,11 @@ QFORMER_RULES: List[Rule] = [
     (r"attn_out/kernel$", P("model", None)),
     (r"intermediate\w*/kernel$", P(None, "model")),
     (r"output\w*/kernel$", P("model", None)),
+    # int8 serving layout (see LLAMA_RULES note)
+    (r"(query|key|value|intermediate_query)/w_int8$", P(None, "model")),
+    (r"(attn_out|output_query)/w_int8$", P("model", None)),
+    (r"(query|key|value|intermediate_query)/scale$", P("model")),
+    (r"(attn_out|output_query)/scale$", P()),
 ]
 
 

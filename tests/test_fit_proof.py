@@ -106,6 +106,47 @@ def test_single_chip_full_depth_int8_fits(full_shapes):
     assert kv_bf16 > report["kv_bytes"] * 1.7
 
 
+def test_single_chip_b24_int8_towers_fits(full_shapes):
+    """The r2 serving profile: d32 int8 LLM + int8 KV + int8 EVA/ImageBind
+    towers at batch 24 on ONE chip (measured 10.6 img/s)."""
+    import dataclasses
+
+    arch = MyriadArch.full()
+    arch = dataclasses.replace(
+        arch,
+        llama=dataclasses.replace(arch.llama, weight_dtype="int8",
+                                  kv_cache_dtype="int8"),
+        vit_weight_dtype="int8",
+        imagebind=dataclasses.replace(arch.imagebind, weight_dtype="int8"),
+    )
+    policy = Policy.bf16_params()
+    module = MyriadModule(arch, dtype=policy.compute_dtype,
+                          param_dtype=policy.param_dtype)
+    img = jnp.zeros((1, arch.img_size, arch.img_size, 3), jnp.float32)
+    maps = jnp.zeros((1, arch.map_size, arch.map_size, 1), jnp.float32)
+    ids = jnp.zeros((2,), jnp.int32)
+    text = jnp.zeros((1, 2), jnp.int32)
+    mask = jnp.ones((1, 2), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda r: module.init(r, img, maps, ids, ids, text, mask, 1,
+                              method=MyriadModule.forward_train),
+        jax.random.PRNGKey(0),
+    )["params"]
+    _, _, ve_shapes = full_shapes  # VE tower shapes dominate either way
+    mesh = make_mesh(n_model=1, devices=jax.devices()[:1])
+    sh = partition.tree_shardings(shapes, mesh, partition.myriad_rules())
+    ve_sh = partition.tree_shardings(ve_shapes, mesh, [])
+    params = memory.tree_bytes_per_chip(shapes, sh) + memory.tree_bytes_per_chip(
+        ve_shapes, ve_sh
+    )
+    report = memory.fit_report(
+        shapes, sh, llama_config=arch.llama, batch=24,
+        max_len=512, kv_dtype="int8", n_model=1,
+    )
+    total = params + report["kv_bytes"] + report["activation_bound_bytes"]
+    assert total < 16 * GIB, f"{total / GIB:.2f} GiB"
+
+
 def test_v5e8_sharded_plan_fits_with_no_large_fallbacks(full_shapes):
     arch, shapes, ve_shapes = full_shapes
     mesh = make_mesh(n_model=8)  # 1 x 8 model-parallel serving mesh

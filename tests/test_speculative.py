@@ -142,6 +142,34 @@ def test_spec_lookup_corpus_hits(tiny):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_myriad_generate_spec_matches_greedy():
+    """llm_spec_k through the production fused generate path: token- and
+    map-identical to the plain greedy model."""
+    from myriad_tpu.models.layers import Policy
+    from myriad_tpu.models.myriad import Myriad, MyriadArch
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+    samples = {
+        "image": img,
+        "scene": ["bottle", "bottle"],
+        "question": "<Img><ImageHere></Img> Is there an anomaly?",
+    }
+
+    outs = {}
+    for k in (0, 3):
+        m = Myriad(arch=MyriadArch.tiny(), use_ve=True, policy=Policy.fp32(),
+                   max_txt_len=16, spec_k=k, seed=11)
+        ve = m.vision_expert
+        ve.class_names = ["bottle"]
+        ve.class_index = {"bottle": 0}
+        ve.build_text_features()
+        outs[k] = m.generate(samples, max_new_tokens=8)
+    np.testing.assert_array_equal(
+        np.asarray(outs[0]["token_ids"]), np.asarray(outs[3]["token_ids"])
+    )
+
+
 def test_spec_quant_weights(tiny):
     """int8-weight serving model: spec == greedy (the verify pass runs the
     same QuantDense matmuls)."""

@@ -196,6 +196,22 @@ def test_int8_vision_towers_quantize_on_load(donor):
     assert rel < 0.05, rel  # int8 weight-only quantization error bound
 
 
+def test_int8_qformer_quantizes_on_load(donor):
+    """qformer_weight_dtype int8: the Q-Former npz quantizes into the
+    QuantDense layout on load with zero missing leaves."""
+    import dataclasses
+
+    _, paths = donor
+    arch = dataclasses.replace(MyriadArch.tiny(), qformer_weight_dtype="int8")
+    model = Myriad(arch=arch, use_ve=False, policy=Policy.fp32(), seed=0)
+    report = model.load_pretrained_weights({"qformer": paths["qformer"]})
+    missing = [p for p in report["missing"] if p.startswith("qformer/")]
+    assert missing == [], missing[:5]
+    flat = ckpt_lib.flatten_dict(model.frozen["qformer"])
+    assert any(k.endswith("w_int8") for k in flat)
+    assert not any(k.endswith("kernel") for k in flat)
+
+
 def test_raw_blip2_state_dict_converts_on_load():
     """A flat torch-style BLIP-2 dict ('Qformer.bert.*' keys) converts in
     place (myriad from_config accepts q_former_model local files)."""
