@@ -86,7 +86,9 @@ def build_profile(name: str):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dry-run", action="store_true", help="tiny profile on CPU")
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", type=int, default=None,
+                   help="default 24 (eval): the largest batch that fits one "
+                        "v5e chip at the d32 int8 serving profile; 8 (train)")
     p.add_argument("--profile", type=str, default=None,
                    choices=["bench", "bench16", "tiny", "full"])
     p.add_argument("--iters", type=int, default=3)
@@ -98,10 +100,13 @@ def main():
     p.add_argument("--kv", type=str, default="int8", choices=["bf16", "int8"],
                    help="KV-cache storage (int8 halves cache traffic+memory "
                         "— what lets full-depth d32 serve at batch 16)")
-    p.add_argument("--vit-quant", action="store_true",
-                   help="int8 weight-only EVA + ImageBind towers (halves "
-                        "their 2 GiB bf16 footprint and encode weight "
-                        "traffic; W8A8 int8-MXU encode matmuls)")
+    p.add_argument("--vit-quant", dest="vit_quant", action="store_true",
+                   default=True,
+                   help="int8 weight-only EVA + ImageBind + Q-Former towers "
+                        "(halves their bf16 footprint — what fits batch 24 "
+                        "on one chip; W8A8 int8-MXU encode matmuls). ON by "
+                        "default; --no-vit-quant for bf16 towers")
+    p.add_argument("--no-vit-quant", dest="vit_quant", action="store_false")
     p.add_argument("--mode", type=str, default="eval", choices=["eval", "train"],
                    help="eval: AQA decode step (default); train: stage-2 "
                         "LoRA finetune step samples/sec (BASELINE config 4)")
@@ -151,6 +156,8 @@ def main():
             qformer_weight_dtype="int8",
             imagebind=dataclasses.replace(arch.imagebind, weight_dtype="int8"),
         )
+    if args.batch is None:
+        args.batch = 8 if args.mode == "train" else 24
     b = args.batch if profile != "tiny" else 2
     print(f"[bench] profile={profile} batch={b} device={jax.devices()[0]}",
           file=sys.stderr)
@@ -313,7 +320,9 @@ def main():
         "metric": "images/sec/chip (MVTec-AD AQA eval step: VE maps + encode_img "
                   f"+ {DECODE_TOKENS}-token greedy decode; llama depth "
                   f"{arch.llama.num_layers}, weights {arch.llama.weight_dtype}, "
-                  f"kv {arch.llama.kv_cache_dtype})",
+                  f"kv {arch.llama.kv_cache_dtype}, towers "
+                  f"{'int8' if args.vit_quant else 'bf16'}"
+                  + (f", spec K={args.spec}" if args.spec else "") + ")",
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / REFERENCE_A100_AS_SHIPPED, 3),

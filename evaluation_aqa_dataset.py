@@ -192,9 +192,39 @@ def main():
         "temperature": 1.0,
     }
 
-    all_time = 0.0
-    n_batches = 0
-    batch_times = []  # (seconds, real_images) — [0] includes XLA compile
+    t_loop0 = time.time()
+    completions = []  # (wall time when the batch's results landed, real_images)
+
+    def flush(writer, samples, outputs, real_bs):
+        """Block on a batch's device results and write its jsonl rows."""
+        token_ids = np.asarray(outputs["token_ids"])[:real_bs]
+        token_ids = np.clip(token_ids, 1, 40000)
+        output_text = model.llama_tokenizer.batch_decode(token_ids)
+        maps = np.asarray(outputs.get("ve_anomaly_maps"))
+        for ind, text in enumerate(output_text):
+            text = text.split("###")[0]
+            is_anomaly = bool(samples["is_anomaly"][ind])
+            item = {
+                "image_id": int(samples["image_id"][ind]),
+                "image_path": "/".join(samples["img_path"][ind].split("/")[-5:]),
+                "is_anomaly": is_anomaly,
+                "output": text,
+            }
+            if ("Yes" in text and is_anomaly) or ("No" in text and not is_anomaly):
+                item["error"] = "0"
+            else:
+                item["error"] = "1"
+            if maps is not None and maps.size:
+                item["anomaly_score"] = str(round(float(maps[ind].max()), 4))
+            writer.write(json.dumps(item) + "\n")
+        completions.append((time.time(), real_bs))
+
+    # 1-deep software pipeline: dispatch batch i+1 (JAX queues it
+    # asynchronously) BEFORE blocking on batch i's tokens, so the host-side
+    # tokenize/jsonl/preprocessing of one batch overlaps the device compute
+    # of the next.  The reference loop (evaluation_aqa_dataset.py:310-390)
+    # fully serializes CPU and GPU work.
+    pending = None  # (samples, outputs, real_bs)
     with open(save_path, "w") as writer:
         for testid, samples in enumerate(dataloader):
             if testid < args.start:
@@ -211,51 +241,30 @@ def main():
                         )
                     elif isinstance(v, list):
                         samples[k] = v + [v[-1]] * pad
-            t1 = time.time()
             outputs = model.generate(samples, **generate_kwargs)
-            token_ids = np.asarray(outputs["token_ids"])[:real_bs]
-            t2 = time.time()
-            all_time += t2 - t1
-            n_batches += 1
-            batch_times.append((t2 - t1, real_bs))
+            if pending is not None:
+                flush(writer, *pending)
+            pending = (samples, outputs, real_bs)
+        if pending is not None:
+            flush(writer, *pending)
 
-            token_ids = np.clip(token_ids, 1, 40000)
-            output_text = model.llama_tokenizer.batch_decode(token_ids)
-            maps = np.asarray(outputs.get("ve_anomaly_maps"))
-
-            for ind, text in enumerate(output_text):
-                text = text.split("###")[0]
-                is_anomaly = bool(samples["is_anomaly"][ind])
-                item = {
-                    "image_id": int(samples["image_id"][ind]),
-                    "image_path": "/".join(samples["img_path"][ind].split("/")[-5:]),
-                    "is_anomaly": is_anomaly,
-                    "output": text,
-                }
-                if ("Yes" in text and is_anomaly) or ("No" in text and not is_anomaly):
-                    item["error"] = "0"
-                else:
-                    item["error"] = "1"
-                if maps is not None and maps.size:
-                    item["anomaly_score"] = str(round(float(maps[ind].max()), 4))
-                writer.write(json.dumps(item) + "\n")
-
+    n_batches = len(completions)
     print("Device Memory:", device_mem_mb())
-    print("Mean Time: ", all_time / max(n_batches, 1))
-    if args.bench and len(batch_times) > 1:
-        # steady-state throughput: the first batch pays the one-time XLA
-        # compile, so it is excluded (same protocol as bench.py warmup)
-        steady = batch_times[1:]
-        secs = sum(t for t, _ in steady)
-        imgs = sum(n for _, n in steady)
+    print("Mean Time: ", (time.time() - t_loop0) / max(n_batches, 1))
+    if args.bench and n_batches > 2:
+        # steady-state throughput between the completion of the first
+        # (compile-paying) batch and the last; same warmup-exclusion
+        # protocol as bench.py
+        secs = completions[-1][0] - completions[0][0]
+        imgs = sum(n for _, n in completions[1:])
         print(json.dumps({
             "metric": "images/sec (AQA eval harness, fused generate, "
                       f"{args.max_new_tokens}-token decode)",
             "value": round(imgs / max(secs, 1e-9), 4),
             "unit": "images/sec",
-            "batches": len(steady),
+            "batches": n_batches - 1,
             "batch_size": args.bs,
-            "compile_batch_s": round(batch_times[0][0], 2),
+            "compile_batch_s": round(completions[0][0] - t_loop0, 2),
         }))
 
 

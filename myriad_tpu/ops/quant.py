@@ -35,6 +35,40 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@jax.custom_jvp
+def _w8a8_matmul(x2: jnp.ndarray, w8: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """(m, d) f32 @ int8 (d, f) with dynamic per-row activation quant.
+
+    Defined with a custom (straight-through) derivative: the true forward
+    contains round() and an int8 cast, both with zero derivative — a plain
+    W8A8 matmul silently kills every gradient crossing an int8 layer, so
+    LoRA/adaptor training through a frozen int8 LLM would never reach
+    upstream trainables (llama_proj, VE adaptors).  The tangent treats the
+    layer as the linear map x @ dequant(w8) (exact up to the activation
+    quantization error); w8/scale are frozen and get no gradient.
+    """
+    x_amax = jnp.maximum(jnp.max(jnp.abs(x2), axis=-1, keepdims=True), 1e-8)
+    x8 = jnp.clip(jnp.round(x2 * (127.0 / x_amax)), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    return acc * (x_amax / 127.0) * scale.astype(jnp.float32)
+
+
+@_w8a8_matmul.defjvp
+def _w8a8_matmul_jvp(primals, tangents):
+    x2, w8, scale = primals
+    dx = tangents[0]
+    y = _w8a8_matmul(x2, w8, scale)
+    # fp32 dequant-dot tangent (measured FASTER than a bf16 variant on v5e
+    # — 12.7 vs 11.9 samples/s; XLA fuses the int8 convert into the dot)
+    dy = jax.lax.dot_general(
+        dx, w8.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale.astype(jnp.float32)[None, :]
+    return y, dy
+
+
 def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
     # blocks: x (TM, D) bf16, w (D, TF) int8, s (1, TF) fp32, o (TM, TF)
     x = x_ref[:]
@@ -94,13 +128,7 @@ def int8_matmul(
         # would write+read a full bf16 weight copy per matmul (measured 2x
         # slower prefill); int8 activations keep traffic at the int8 size
         # and double MXU throughput.
-        xf = x2.astype(jnp.float32)
-        x_amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
-        x8 = jnp.clip(jnp.round(xf * (127.0 / x_amax)), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            x8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
-        y = acc * (x_amax / 127.0) * scale.astype(jnp.float32)
+        y = _w8a8_matmul(x2.astype(jnp.float32), w8, scale)
         return y.astype(out_dtype).reshape(*lead, f)
 
     if interpret is None:

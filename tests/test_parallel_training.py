@@ -123,3 +123,36 @@ def test_sharded_generation_matches_unsharded():
     model._jit_cache.clear()
     sharded = np.asarray(model.generate(s, max_new_tokens=5)["token_ids"])
     np.testing.assert_array_equal(sharded, ref)
+
+
+def test_sharded_speculative_matches_unsharded():
+    """Speculative decoding under GSPMD: the vmap'd per-row cache writes
+    and position-causal masks must partition cleanly; tokens identical to
+    both the sharded greedy run and the single-device spec run."""
+    import jax
+
+    from myriad_tpu.models.layers import Policy
+    from myriad_tpu.models.myriad import Myriad, MyriadArch
+    from myriad_tpu.parallel import mesh as mesh_lib
+    from myriad_tpu.parallel import partition
+
+    s = {
+        "image": np.zeros((4, 28, 28, 3), np.float32),
+        "scene": ["bottle"] * 4,
+        "question": ["<Img><ImageHere></Img>find defects"] * 4,
+        "img_path": ["x"] * 4,
+    }
+    greedy = Myriad(arch=MyriadArch.tiny(), use_ve=False, policy=Policy.fp32(),
+                    max_txt_len=16, end_sym="###", seed=0)
+    ref = np.asarray(greedy.generate(s, max_new_tokens=6)["token_ids"])
+
+    model = Myriad(arch=MyriadArch.tiny(), use_ve=False, policy=Policy.fp32(),
+                   max_txt_len=16, end_sym="###", seed=0, spec_k=2)
+    mesh = mesh_lib.make_mesh(n_model=2)
+    rules = partition.myriad_rules()
+    model.trainable = jax.device_put(
+        model.trainable, partition.tree_shardings(model.trainable, mesh, rules))
+    model.frozen = jax.device_put(
+        model.frozen, partition.tree_shardings(model.frozen, mesh, rules))
+    sharded_spec = np.asarray(model.generate(s, max_new_tokens=6)["token_ids"])
+    np.testing.assert_array_equal(sharded_spec, ref)

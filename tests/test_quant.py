@@ -69,6 +69,54 @@ def test_int8_llama_close_to_bf16(rng):
     assert err < 0.1, err
 
 
+def test_w8a8_gradient_flows_through(rng):
+    """The W8A8 activation-quant matmul must pass gradients (custom
+    straight-through jvp): round()+int8-cast would otherwise zero every
+    gradient crossing a frozen int8 layer, silently breaking LoRA/adaptor
+    training upstream of the quantized LLM."""
+    x = jnp.asarray(rng.normal(size=(8, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(96, 72)), jnp.float32)
+    w8, scale = quantize_per_channel(w)
+
+    def loss(x):
+        return int8_matmul(x, w8, scale, use_pallas=False).sum()
+
+    g = jax.grad(loss)(x)
+    # straight-through tangent == gradient of the dequantized linear map
+    # (computed in bf16 for bandwidth — ~0.4% rounding)
+    ref = jax.grad(lambda x: (x @ (w8.astype(jnp.float32) * scale)).sum())(x)
+    assert float(jnp.abs(g).max()) > 0
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-2)
+
+
+def test_int8_llama_gradients_nonzero(rng):
+    """End-to-end: input gradients through a frozen int8 tiny LLaMA are
+    nonzero and directionally match the fp32 model's."""
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, **FP32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    qcfg = dataclasses.replace(cfg, weight_dtype="int8")
+    qmodel = LlamaForCausalLM(qcfg, **FP32)
+    qparams = {"params": quantize_tree(
+        jax.tree_util.tree_map(np.asarray, params)["params"])}
+    qparams = jax.tree_util.tree_map(jnp.asarray, qparams)
+
+    embeds = jnp.asarray(rng.normal(size=(2, 6, 64)).astype(np.float32) * 0.1)
+
+    def loss(m, p, e):
+        logits, _ = m.apply(p, e)
+        return (logits.astype(jnp.float32) ** 2).mean()
+
+    g_ref = jax.grad(lambda e: loss(model, params, e))(embeds)
+    g_q = jax.grad(lambda e: loss(qmodel, qparams, e))(embeds)
+    assert float(jnp.abs(g_q).max()) > 0
+    cos = float(
+        (g_ref * g_q).sum()
+        / (jnp.linalg.norm(g_ref) * jnp.linalg.norm(g_q) + 1e-9)
+    )
+    assert cos > 0.9, cos
+
+
 def test_int4_pack_unpack_exact(rng):
     """Packing two nibbles per byte and unpacking is lossless on [-8, 7]."""
     q = jnp.asarray(rng.integers(-8, 8, size=(128, 24)), jnp.int32)
