@@ -63,6 +63,11 @@ class LlamaConfig:
     # rematerialize layer activations in the backward pass
     # (the reference's gradient-checkpointing flag, eva_vit.py:336-337 style)
     remat: bool = False
+    # Pallas prefill attention (VMEM-resident scores) on the TPU cache
+    # path — saves the ~380 MiB/layer fp32 score buffer at batch 24.
+    # Disable for multi-chip GSPMD serving (the custom call has no
+    # partitioning rule yet; XLA would insert gathers around it).
+    flash_prefill: bool = True
 
     @property
     def kv_heads(self) -> int:
@@ -219,6 +224,7 @@ class LlamaAttention(nn.Module):
         mask: Optional[jnp.ndarray],
         cache: Optional[Cache] = None,
         deterministic: bool = True,
+        positional_only: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[Cache]]:
         cfg = self.config
         b, t, _ = hidden.shape
@@ -306,17 +312,34 @@ class LlamaAttention(nn.Module):
                 k_sc = jnp.repeat(k_sc, rep, axis=1)
                 v_sc = jnp.repeat(v_sc, rep, axis=1)
 
+        from myriad_tpu.ops import prefill_attention as fa
         from myriad_tpu.ops.attention import mha
 
-        out = mha(
-            q,
-            k_all if k_sc is not None else k_all.astype(q.dtype),
-            v_all if v_sc is not None else v_all.astype(q.dtype),
-            mask=mask,
-            scale=d**-0.5,
-            k_scale=k_sc,
-            v_scale=v_sc,
+        use_flash = (
+            cfg.flash_prefill
+            and cache is not None
+            and positional_only
+            and t > 1
+            and fa.supported(t, k_all.shape[2], d)
+            and jax.devices()[0].platform == "tpu"
         )
+        if use_flash:
+            # chunked prefill / speculative verify: scores, causal mask and
+            # softmax stay in VMEM (ops/prefill_attention.py)
+            out = fa.prefill_attention(
+                q, k_all, v_all, positions, scale=d**-0.5,
+                k_scale=k_sc, v_scale=v_sc,
+            )
+        else:
+            out = mha(
+                q,
+                k_all if k_sc is not None else k_all.astype(q.dtype),
+                v_all if v_sc is not None else v_all.astype(q.dtype),
+                mask=mask,
+                scale=d**-0.5,
+                k_scale=k_sc,
+                v_scale=v_sc,
+            )
         out = merge_heads(out)
         out = dense(cfg.hidden_size, "o_proj")(out)
         return out, new_cache
@@ -342,11 +365,12 @@ class LlamaLayer(nn.Module):
     param_dtype: Dtype
 
     @nn.compact
-    def __call__(self, hidden, positions, mask, cache=None, deterministic=True):
+    def __call__(self, hidden, positions, mask, cache=None, deterministic=True,
+                 positional_only=False):
         cfg = self.config
         h, new_cache = LlamaAttention(cfg, self.dtype, self.param_dtype, name="self_attn")(
             RMSNorm(cfg.rms_norm_eps, self.param_dtype, name="input_layernorm")(hidden),
-            positions, mask, cache, deterministic,
+            positions, mask, cache, deterministic, positional_only,
         )
         hidden = hidden + h
         h = LlamaMlp(cfg, self.dtype, self.param_dtype, name="mlp")(
@@ -369,7 +393,7 @@ class LlamaModel(nn.Module):
             param_dtype=self.param_dtype, name="embed_tokens",
         )
         layer_cls = (
-            nn.remat(LlamaLayer, static_argnums=(5,)) if cfg.remat else LlamaLayer
+            nn.remat(LlamaLayer, static_argnums=(5, 6)) if cfg.remat else LlamaLayer
         )
         self.layers = [
             layer_cls(cfg, self.dtype, self.param_dtype, name=f"layers_{i}")
@@ -420,10 +444,12 @@ class LlamaModel(nn.Module):
         mask = jnp.where(allowed, 0.0, -1e9).astype(jnp.float32)
 
         hidden = inputs_embeds.astype(self.dtype)
+        positional_only = attention_mask is None
         new_caches = [] if cache is not None else None
         for i, layer in enumerate(self.layers):
             layer_cache = cache[i] if cache is not None else None
-            hidden, nc = layer(hidden, positions, mask, layer_cache, deterministic)
+            hidden, nc = layer(hidden, positions, mask, layer_cache, deterministic,
+                               positional_only)
             if new_caches is not None:
                 new_caches.append(nc)
         hidden = self.norm(hidden)

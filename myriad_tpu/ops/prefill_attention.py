@@ -1,0 +1,135 @@
+"""Pallas prefill attention: VMEM-resident scores, int8-KV aware.
+
+XLA's attention materializes the per-head fp32 score tensor
+(B, H, Tq, Tkv) in HBM — ~380 MiB per LLaMA layer at batch 24 — which
+dominates the prefill activation footprint on one v5e chip (the batch-28
+OOM margin).  At Myriad's prefill sizes the whole KV block for one
+(batch, head) fits VMEM (Tkv<=512, D=128: ~100 KiB), so this kernel
+computes scores, causal mask, softmax and the value contraction entirely
+in VMEM — nothing of size Tq x Tkv ever touches HBM.
+
+Causality comes from a per-row ``positions`` vector (k_pos <= q_pos), the
+same predicate the model's XLA mask path uses (llama.py), so cache slots
+at/after the write frontier are excluded without a mask tensor.  For an
+int8 KV cache the per-position dequant scales fold into the scores/probs
+(ops/attention.py note) — K/V stream into VMEM at int8 width.
+
+Single-pass (not online-softmax flash): valid while the whole KV fits
+VMEM, which holds for the AQA serving regime; ``supported()`` gates the
+dispatch and longer contexts fall back to XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(q_ref, k_ref, v_ref, pos_ref, ks_ref, vs_ref, o_ref, *, scale):
+    q = q_ref[0, 0]  # (tq, d) bf16
+    k = k_ref[0, 0]  # (tk, d) int8 or bf16
+    s = jax.lax.dot_general(
+        q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (tq, tk)
+    if ks_ref is not None:
+        s = s * ks_ref[0, 0, 0].astype(jnp.float32)[None, :]
+    s = s * scale
+    pos = pos_ref[0, 0]  # (tq,) int32
+    kiota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kiota <= pos[:, None], s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    if vs_ref is not None:
+        p = p * vs_ref[0, 0, 0].astype(jnp.float32)[None, :]
+    v = v_ref[0, 0]
+    o = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def supported(tq: int, tk: int, d: int) -> bool:
+    """Whole-KV-in-VMEM regime (scores (tq, tk) fp32 + K/V blocks well
+    under the scoped budget)."""
+    return tq > 1 and tk <= 1024 and d <= 256 and tq <= 1024
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "out_dtype_name"))
+def _call(q, k, v, positions, k_scale, v_scale, scale, interpret, out_dtype_name):
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    quant = k_scale is not None
+    kernel = functools.partial(_kernel, scale=scale)
+    if not quant:
+        kernel = (lambda qr, kr, vr, pr, orf, *, _k=kernel: _k(qr, kr, vr, pr, None, None, orf))
+    # trailing-two block dims must divide (8,128) or equal the array dims,
+    # so the 1-D per-row operands carry an explicit singleton axis
+    in_specs = [
+        pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v, positions[:, None, :]]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, tk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), jnp.dtype(out_dtype_name)),
+        interpret=interpret,
+    )(*args)
+
+
+def prefill_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    positions: jnp.ndarray,
+    *,
+    scale: float,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """q (B,H,Tq,D) bf16; k/v (B,H,Tk,D) bf16 or int8 (+ per-position
+    scales (B,H,Tk,1)); positions (B,Tq) int32 absolute query positions.
+    Returns (B,H,Tq,D) in q's dtype, causal w.r.t. ``positions``."""
+    b, h, tq, d = q.shape
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    tq_pad = _round_up(tq, 8)
+    if tq_pad != tq:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, tq_pad - tq), (0, 0)])
+        # padded rows mask everything out (position -1): exp(s - m) over a
+        # constant row stays finite, rows are sliced off below
+        positions = jnp.pad(positions, [(0, 0), (0, tq_pad - tq)],
+                            constant_values=-1)
+    # Mosaic has no f16 type: the (tiny) per-position scale planes enter
+    # the kernel as fp32
+    ks = None if k_scale is None else k_scale[..., 0].astype(jnp.float32)
+    vs = None if v_scale is None else v_scale[..., 0].astype(jnp.float32)
+    out = _call(q, k, v, positions.astype(jnp.int32), ks, vs,
+                float(scale), bool(interpret), jnp.dtype(q.dtype).name)
+    return out[:, :, :tq]

@@ -1,0 +1,64 @@
+"""Pallas prefill attention (VMEM-resident scores) vs the XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myriad_tpu.ops.attention import _xla_mha
+from myriad_tpu.ops.prefill_attention import prefill_attention
+
+
+def _xla_ref(q, k, v, positions, scale, k_scale=None, v_scale=None):
+    kv_len = k.shape[2]
+    k_pos = jnp.arange(kv_len, dtype=jnp.int32)
+    allowed = k_pos[None, None, None, :] <= positions[:, None, :, None]
+    mask = jnp.where(allowed, 0.0, -1e9).astype(jnp.float32)
+    return _xla_mha(q, k, v, mask, scale, k_scale, v_scale)
+
+
+@pytest.mark.parametrize("tq,tk", [(16, 32), (13, 48)])
+def test_prefill_attention_matches_xla(rng, tq, tk):
+    b, h, d = 2, 3, 16
+    q = jnp.asarray(rng.normal(size=(b, h, tq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, tk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, tk, d)).astype(np.float32))
+    positions = jnp.broadcast_to(jnp.arange(tq, dtype=jnp.int32)[None], (b, tq))
+    ref = _xla_ref(q, k, v, positions, d**-0.5)
+    out = prefill_attention(q, k, v, positions, scale=d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_prefill_attention_int8_kv(rng):
+    """int8 KV + per-position scales folded in-kernel == the XLA
+    scale-folded path."""
+    from myriad_tpu.models.llama import quantize_kv
+
+    b, h, tq, tk, d = 2, 2, 12, 32, 16
+    q = jnp.asarray(rng.normal(size=(b, h, tq, d)).astype(np.float32))
+    kf = jnp.asarray(rng.normal(size=(b, h, tk, d)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(b, h, tk, d)).astype(np.float32))
+    k8, ks = quantize_kv(kf)
+    v8, vs = quantize_kv(vf)
+    positions = jnp.broadcast_to(jnp.arange(tq, dtype=jnp.int32)[None], (b, tq))
+    ref = _xla_ref(q, k8, v8, positions, d**-0.5, ks, vs)
+    out = prefill_attention(q, k8, v8, positions, scale=d**-0.5,
+                            k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_prefill_attention_offset_positions(rng):
+    """Nonzero start offsets (chunked/speculative feeds): only cache slots
+    at k_pos <= position contribute."""
+    b, h, tq, tk, d = 1, 2, 8, 64, 16
+    q = jnp.asarray(rng.normal(size=(b, h, tq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, tk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, tk, d)).astype(np.float32))
+    positions = 20 + jnp.broadcast_to(
+        jnp.arange(tq, dtype=jnp.int32)[None], (b, tq))
+    ref = _xla_ref(q, k, v, positions, d**-0.5)
+    out = prefill_attention(q, k, v, positions, scale=d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
