@@ -107,6 +107,11 @@ def main():
                         "on one chip; W8A8 int8-MXU encode matmuls). ON by "
                         "default; --no-vit-quant for bf16 towers")
     p.add_argument("--no-vit-quant", dest="vit_quant", action="store_false")
+    p.add_argument("--no-qformer-quant", dest="qformer_quant",
+                   action="store_false", default=True,
+                   help="keep the Q-Former bf16 under --vit-quant (memory "
+                        "A/B knob: XLA's peak allocation at batch 28 "
+                        "swings ~0.3G either way with fusion choices)")
     p.add_argument("--mode", type=str, default="eval", choices=["eval", "train"],
                    help="eval: AQA decode step (default); train: stage-2 "
                         "LoRA finetune step samples/sec (BASELINE config 4)")
@@ -153,7 +158,7 @@ def main():
         arch = dataclasses.replace(
             arch,
             vit_weight_dtype="int8",
-            qformer_weight_dtype="int8",
+            qformer_weight_dtype="int8" if args.qformer_quant else "bf16",
             imagebind=dataclasses.replace(arch.imagebind, weight_dtype="int8"),
         )
     if args.batch is None:
