@@ -70,8 +70,7 @@ def supported(tq: int, tk: int, d: int) -> bool:
     return 16 <= tq <= 1024 and tk <= 1024 and d <= 256
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "out_dtype_name"))
-def _call(q, k, v, positions, k_scale, v_scale, scale, interpret, out_dtype_name):
+def _local_call(q, k, v, positions, k_scale, v_scale, scale, interpret, out_dtype_name):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     quant = k_scale is not None
@@ -102,6 +101,71 @@ def _call(q, k, v, positions, k_scale, v_scale, scale, interpret, out_dtype_name
         out_shape=jax.ShapeDtypeStruct((b, h, tq, d), jnp.dtype(out_dtype_name)),
         interpret=interpret,
     )(*args)
+
+
+# -- GSPMD integration --------------------------------------------------------
+# The kernel is independent per (batch, head): under a sharded mesh
+# (tensor-parallel heads, data-parallel batch) each shard runs the kernel
+# on its local (B_loc, H_loc) block.  custom_partitioning declares exactly
+# that, so XLA partitions the custom call instead of gathering the full
+# arrays around it.
+
+@functools.lru_cache(maxsize=None)
+def _partitioned(quant: bool, scale: float, interpret: bool, out_dtype_name: str):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if quant:
+        def fn(q, k, v, pos, ks, vs):
+            return _local_call(q, k, v, pos, ks, vs, scale, interpret, out_dtype_name)
+    else:
+        def fn(q, k, v, pos):
+            return _local_call(q, k, v, pos, None, None, scale, interpret, out_dtype_name)
+
+    f = custom_partitioning(fn)
+
+    def _specs(mesh, q_sharding):
+        qs = q_sharding.spec if q_sharding is not None else P()
+        b_ax = qs[0] if len(qs) > 0 else None
+        h_ax = qs[1] if len(qs) > 1 else None
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        arg = [
+            mk(b_ax, h_ax, None, None),  # q
+            mk(b_ax, h_ax, None, None),  # k
+            mk(b_ax, h_ax, None, None),  # v
+            mk(b_ax, None),              # positions (B, Tq)
+        ]
+        if quant:
+            arg += [mk(b_ax, h_ax, None)] * 2  # (B, H, Tk) scales
+        return arg, mk(b_ax, h_ax, None, None)
+
+    def infer(mesh, arg_infos, result_shape):
+        _, out = _specs(mesh, getattr(arg_infos[0], "sharding", None))
+        return out
+
+    def partition(mesh, arg_infos, result_shape):
+        args, out = _specs(mesh, getattr(arg_infos[0], "sharding", None))
+        return mesh, fn, out, tuple(args)
+
+    # Shardy propagation uses the einsum-like rule; the partition callback
+    # then constrains T/D (and the rule's q/s/e factors) to replicated on
+    # the actual lowering, inserting reshards if a caller passed them split
+    rule = (
+        "b h q e, b h s e, b h s e, b q, b h s, b h s -> b h q e"
+        if quant else
+        "b h q e, b h s e, b h s e, b q -> b h q e"
+    )
+    f.def_partition(infer_sharding_from_operands=infer, partition=partition,
+                    sharding_rule=rule)
+    return jax.jit(f)
+
+
+def _call(q, k, v, positions, k_scale, v_scale, scale, interpret, out_dtype_name):
+    quant = k_scale is not None
+    f = _partitioned(quant, float(scale), bool(interpret), out_dtype_name)
+    if quant:
+        return f(q, k, v, positions, k_scale, v_scale)
+    return f(q, k, v, positions)
 
 
 def prefill_attention(

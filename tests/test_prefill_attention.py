@@ -49,6 +49,38 @@ def test_prefill_attention_int8_kv(rng):
                                rtol=2e-2, atol=2e-2)
 
 
+def test_prefill_attention_sharded_matches_unsharded(rng):
+    """custom_partitioning: under a ('data','model') mesh with heads
+    sharded, each shard runs the kernel locally (no gathers) and the
+    result equals the unsharded one."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from myriad_tpu.models.llama import quantize_kv
+    from myriad_tpu.parallel.mesh import make_mesh
+
+    b, h, tq, tk, d = 4, 4, 16, 32, 16
+    q = jnp.asarray(rng.normal(size=(b, h, tq, d)).astype(np.float32))
+    kf = jnp.asarray(rng.normal(size=(b, h, tk, d)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(b, h, tk, d)).astype(np.float32))
+    k8, ks = quantize_kv(kf)
+    v8, vs = quantize_kv(vf)
+    positions = jnp.broadcast_to(jnp.arange(tq, dtype=jnp.int32)[None], (b, tq))
+    ref = np.asarray(prefill_attention(q, k8, v8, positions, scale=d**-0.5,
+                                       k_scale=ks, v_scale=vs))
+
+    mesh = make_mesh(n_model=2)
+    sh4 = NamedSharding(mesh, P("data", "model", None, None))
+    qs = jax.device_put(q, sh4)
+    k8s = jax.device_put(k8, sh4)
+    v8s = jax.device_put(v8, sh4)
+    kss = jax.device_put(ks, sh4)
+    vss = jax.device_put(vs, sh4)
+    ps = jax.device_put(positions, NamedSharding(mesh, P("data", None)))
+    out = np.asarray(prefill_attention(qs, k8s, v8s, ps, scale=d**-0.5,
+                                       k_scale=kss, v_scale=vss))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_prefill_attention_offset_positions(rng):
     """Nonzero start offsets (chunked/speculative feeds): only cache slots
     at k_pos <= position contribute."""
