@@ -64,9 +64,8 @@ class LlamaConfig:
     # (the reference's gradient-checkpointing flag, eva_vit.py:336-337 style)
     remat: bool = False
     # Pallas prefill attention (VMEM-resident scores) on the TPU cache
-    # path — saves the ~380 MiB/layer fp32 score buffer at batch 24.
-    # Disable for multi-chip GSPMD serving (the custom call has no
-    # partitioning rule yet; XLA would insert gathers around it).
+    # path; partitions per-(batch, head) under GSPMD meshes
+    # (ops/prefill_attention.py custom_partitioning).
     flash_prefill: bool = True
 
     @property

@@ -67,18 +67,17 @@ def mha(
         # attention pipelines the batched heads better than the per-(b,h)
         # Pallas program (8.6 vs 10.3 ms/decode-step at d16/b16); the
         # kernel wins only once the cache is long enough to be
-        # bandwidth-dominant per head.  The quantized-KV path stays on XLA
-        # (the kernel reads bf16 KV only).
+        # bandwidth-dominant per head (conversation mode).  It reads int8
+        # KV directly, folding the per-position scales in-kernel.
         use_pallas = (
             _on_tpu()
             and tq == 1
-            and k_scale is None
-            and v_scale is None
             and k.shape[2] >= 2048
             and os.environ.get("MYRIAD_DISABLE_PALLAS", "0") != "1"
         ) or os.environ.get("MYRIAD_FORCE_PALLAS", "0") == "1"
-    if use_pallas and k_scale is None and v_scale is None:
+    if use_pallas and tq == 1:
         from myriad_tpu.ops.decode_attention import decode_attention
 
-        return decode_attention(q, k, v, mask=mask, scale=scale)
+        return decode_attention(q, k, v, mask=mask, scale=scale,
+                                k_scale=k_scale, v_scale=v_scale)
     return _xla_mha(q, k, v, mask, scale, k_scale, v_scale)

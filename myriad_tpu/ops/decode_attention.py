@@ -26,17 +26,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _decode_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
-    # block shapes: q (1,1,1,D), k/v (1,1,T,D), m (1,1,1,T), o (1,1,1,D)
+def _decode_kernel(q_ref, k_ref, v_ref, m_ref, ks_ref, vs_ref, o_ref, *, scale: float):
+    # block shapes: q (1,1,1,D), k/v (1,1,T,D) bf16 or int8, m (1,1,1,T),
+    # optional int8-KV dequant scales ks/vs (1,1,1,T), o (1,1,1,D)
     q = q_ref[0, 0].astype(jnp.float32)  # (1, D)
     k = k_ref[0, 0].astype(jnp.float32)  # (T, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (1, T)
+    if ks_ref is not None:
+        # per-position K scales fold into the logits: the int8 cache is
+        # never dequantized as a tensor (ops/attention.py note)
+        s = s * ks_ref[0, 0].astype(jnp.float32)
     s = s * scale + m_ref[0, 0].astype(jnp.float32)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     denom = jnp.sum(p, axis=-1, keepdims=True)
+    if vs_ref is not None:
+        p = p * vs_ref[0, 0].astype(jnp.float32)
     out = jax.lax.dot_general(
         p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -49,24 +56,37 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _decode_attention_padded(q, k, v, mask, scale: float, interpret: bool):
+def _decode_attention_padded(q, k, v, mask, k_scale, v_scale, scale: float,
+                             interpret: bool):
     b, h, _, d = q.shape
     t = k.shape[2]
     grid = (b, h)
+    quant = k_scale is not None
     kernel = functools.partial(_decode_kernel, scale=scale)
+    if not quant:
+        kernel = (lambda qr, kr, vr, mr, orf, *, _k=kernel:
+                  _k(qr, kr, vr, mr, None, None, orf))
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, t), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v, mask]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, t), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, t), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale, v_scale]
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, t), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
         interpret=interpret,
-    )(q, k, v, mask)
+    )(*args)
     return out
 
 
@@ -78,8 +98,11 @@ def decode_attention(
     mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """q: (B, H, 1, D); k/v: (B, H, T, D); additive mask -> (B, H, 1, D)."""
+    """q: (B, H, 1, D); k/v: (B, H, T, D) bf16 or int8 with per-position
+    dequant scales (B, H, T, 1); additive mask -> (B, H, 1, D)."""
     b, h, tq, d = q.shape
     assert tq == 1, "decode kernel handles a single query step"
     t = k.shape[2]
@@ -92,17 +115,24 @@ def decode_attention(
     if mask is None:
         mask = jnp.zeros((b, 1, 1, t), jnp.float32)
     mask = jnp.broadcast_to(mask.astype(jnp.float32), (b, h, 1, t))
+    ks = None if k_scale is None else jnp.swapaxes(k_scale, -1, -2).astype(jnp.float32)
+    vs = None if v_scale is None else jnp.swapaxes(v_scale, -1, -2).astype(jnp.float32)
     if t_pad != t:
         pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
         mask = jnp.pad(mask, [(0, 0), (0, 0), (0, 0), (0, t_pad - t)],
                        constant_values=-1e9)
+        if ks is not None:
+            spad = [(0, 0), (0, 0), (0, 0), (0, t_pad - t)]
+            ks = jnp.pad(ks, spad)
+            vs = jnp.pad(vs, spad)
     if d_pad != d:
         padd = [(0, 0), (0, 0), (0, 0), (0, d_pad - d)]
         q = jnp.pad(q, padd)
         k = jnp.pad(k, padd)
         v = jnp.pad(v, padd)
 
-    out = _decode_attention_padded(q, k, v, mask, float(scale), bool(interpret))
+    out = _decode_attention_padded(q, k, v, mask, ks, vs, float(scale),
+                                   bool(interpret))
     return out[..., :d]

@@ -31,6 +31,26 @@ def test_decode_attention_no_mask(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_decode_attention_int8_kv(rng):
+    """int8 KV + per-position scales folded in-kernel == the XLA
+    scale-folded path (the long-context conversation regime)."""
+    from myriad_tpu.models.llama import quantize_kv
+
+    b, h, t, d = 2, 3, 200, 64
+    q = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    k8, ks = quantize_kv(kf)
+    v8, vs = quantize_kv(vf)
+    mask = jnp.where(
+        jnp.arange(t)[None, None, None, :] < 150, 0.0, -1e9
+    ).astype(jnp.float32) * jnp.ones((b, 1, 1, t))
+    ref = _xla_mha(q, k8, v8, mask, d**-0.5, ks, vs)
+    out = decode_attention(q, k8, v8, mask=mask, interpret=True,
+                           k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_mha_dispatch_cpu_uses_xla(rng):
     # on CPU the dispatcher must not try to compile the TPU kernel
     q = jnp.asarray(rng.normal(size=(1, 2, 4, 16)), jnp.float32)
