@@ -212,7 +212,11 @@ def speculative_generate(
         return ~jnp.all(st["done"])
 
     def body(st):
-        draft = draft_tokens(st)  # (B, K)
+        # drafts are only PROPOSALS; clamp into the vocab so an
+        # out-of-range id (user-supplied oracle, corrupted corpus) can't
+        # produce NaN embeddings (jnp.take fills OOB gathers) that poison
+        # the verify pass
+        draft = jnp.clip(draft_tokens(st), 0, model.config.vocab_size - 1)
         feed = jnp.concatenate([st["last"][:, None], draft], axis=1)  # (B, K+1)
         positions = st["length"][:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
         embeds = model.apply(params, feed, method=LlamaForCausalLM.embed)

@@ -76,6 +76,22 @@ def test_spec_mixed_per_row_acceptance(tiny):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_spec_out_of_vocab_drafts_are_harmless(tiny):
+    """OOB draft ids (e.g. a corrupted oracle) must be clamped, not fed:
+    jnp.take fills OOB gathers with NaN, which would poison the verify
+    attention and truncate transcripts."""
+    model, params, embeds = tiny
+    cfg = GenerationConfig(max_new_tokens=14, **NO_STOP)
+    ref = greedy_generate(model, params, embeds, config=cfg,
+                          cache_dtype=jnp.float32)
+    bad = np.asarray(ref).copy()
+    bad[:, ::2] = 31999  # far outside the tiny vocab (128)
+    out = speculative_generate(model, params, embeds, config=cfg, spec_k=3,
+                               oracle_drafts=jnp.asarray(bad),
+                               cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_spec_with_stop_tokens(tiny):
     """Pick a token that actually occurs mid-transcript as the stop id;
     greedy and speculative must truncate identically (stop not emitted,
