@@ -51,6 +51,23 @@ def test_decode_attention_int8_kv(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_mha_forced_pallas_routes_int8_kv(rng, monkeypatch):
+    """MYRIAD_FORCE_PALLAS routes a quantized-KV decode step through the
+    kernel (interpret on CPU) and matches the XLA scale-folded path."""
+    from myriad_tpu.models.llama import quantize_kv
+
+    monkeypatch.setenv("MYRIAD_FORCE_PALLAS", "1")
+    b, h, t, d = 1, 2, 64, 32
+    q = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    k8, ks = quantize_kv(kf)
+    v8, vs = quantize_kv(vf)
+    ref = _xla_mha(q, k8, v8, None, d**-0.5, ks, vs)
+    out = mha(q, k8, v8, k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_mha_dispatch_cpu_uses_xla(rng):
     # on CPU the dispatcher must not try to compile the TPU kernel
     q = jnp.asarray(rng.normal(size=(1, 2, 4, 16)), jnp.float32)
