@@ -100,18 +100,18 @@ def main():
     p.add_argument("--kv", type=str, default="int8", choices=["bf16", "int8"],
                    help="KV-cache storage (int8 halves cache traffic+memory "
                         "— what lets full-depth d32 serve at batch 16)")
-    p.add_argument("--vit-quant", dest="vit_quant", action="store_true",
-                   default=True,
+    p.add_argument("--vit-quant", dest="vit_quant",
+                   action=argparse.BooleanOptionalAction, default=True,
                    help="int8 weight-only EVA + ImageBind + Q-Former towers "
                         "(halves their bf16 footprint — what fits batch 24 "
                         "on one chip; W8A8 int8-MXU encode matmuls). ON by "
-                        "default; --no-vit-quant for bf16 towers")
-    p.add_argument("--no-vit-quant", dest="vit_quant", action="store_false")
-    p.add_argument("--no-qformer-quant", dest="qformer_quant",
-                   action="store_false", default=True,
-                   help="keep the Q-Former bf16 under --vit-quant (memory "
-                        "A/B knob: XLA's peak allocation at batch 28 "
-                        "swings ~0.3G either way with fusion choices)")
+                        "default since r2b (earlier A/B scripts that passed "
+                        "--vit-quant to opt in now measure the default)")
+    p.add_argument("--qformer-quant", dest="qformer_quant",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="Q-Former int8 under --vit-quant (memory A/B knob: "
+                        "XLA's peak allocation at batch 28 swings ~0.3G "
+                        "either way with fusion choices)")
     p.add_argument("--mode", type=str, default="eval", choices=["eval", "train"],
                    help="eval: AQA decode step (default); train: stage-2 "
                         "LoRA finetune step samples/sec (BASELINE config 4)")
@@ -221,6 +221,7 @@ def main():
                                   method=AnomalyExpertModule.zero_shot)
         embeds = model.module.apply(
             {"params": params}, images, maps, before_j, after_j, 1,
+            add_bos=False,  # serving semantics (reference myriad.py:445-451)
             method=MyriadModule.prefill_embeds,
         )
         return greedy_generate(
@@ -239,6 +240,7 @@ def main():
                                       method=AnomalyExpertModule.zero_shot)
             embeds = model.module.apply(
                 {"params": params}, images, maps, before_j, after_j, 1,
+                add_bos=False,  # serving semantics (reference myriad.py:445-451)
                 method=MyriadModule.prefill_embeds,
             )
             return speculative_generate(
@@ -310,6 +312,7 @@ def main():
         def prefill_only(params, images, maps):
             return model.module.apply(
                 {"params": params}, images, maps, before_j, after_j, 1,
+                add_bos=False,  # serving semantics
                 method=MyriadModule.prefill_embeds,
             ).sum()
 

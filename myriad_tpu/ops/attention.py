@@ -75,6 +75,17 @@ def mha(
             and k.shape[2] >= 2048
             and os.environ.get("MYRIAD_DISABLE_PALLAS", "0") != "1"
         ) or os.environ.get("MYRIAD_FORCE_PALLAS", "0") == "1"
+    if use_pallas and tq != 1:
+        # the decode kernel is tq==1-only; a forced-Pallas test feeding a
+        # multi-token chunk would otherwise silently validate the XLA path
+        import warnings
+
+        warnings.warn(
+            f"mha: use_pallas forced but tq={tq} != 1 — falling back to the "
+            "XLA path (decode_attention handles single-step queries only; "
+            "multi-token prefill routes via ops/prefill_attention)",
+            stacklevel=2,
+        )
     if use_pallas and tq == 1:
         from myriad_tpu.ops.decode_attention import decode_attention
 

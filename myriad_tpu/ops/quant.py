@@ -312,19 +312,24 @@ def int4_matmul(
     # (bf16 nibble planes at (td//2, tf)) live in VMEM alongside the block
     tf = 256 if f % 256 == 0 else 128
     # split the contraction into nk sequential accumulation steps so the
-    # per-step intermediates fit scoped VMEM (d=11008 -> td=5504)
-    nk = 1
-    td = d
-    while td > 6144 and td % 2 == 0 and (td // 2) % 256 == 0:
-        td //= 2
-        nk *= 2
+    # per-step blocks + nibble-plane intermediates fit scoped VMEM.  The
+    # input dim pads UP so every chunk is lane-aligned (td//2 % 128 == 0)
+    # and group-aligned (td % 2*group == 0) — e.g. d=11008 -> nk=2 chunks
+    # of td=5632 (d_pad=11264); a power-of-two halving can't split 11008
+    # (5504 isn't 256-aligned).  Zero-padded input rows contribute nothing.
+    g = d // scale.shape[0]
+    nk, td = 1, d
+    if d > 6144 and g == INT4_GROUP:
+        nk = -(-d // 6144)  # ceil
+        td = _round_up(-(-d // nk), 2 * INT4_GROUP)
+    d_pad = td * nk
     m_pad = _round_up(m, tm)
     f_pad = _round_up(f, tf)
-    if m_pad != m:
-        x2 = jnp.pad(x2, [(0, m_pad - m), (0, 0)])
-    if f_pad != f:
-        w4 = jnp.pad(w4, [(0, 0), (0, f_pad - f)])
-        scale = jnp.pad(scale, [(0, 0), (0, f_pad - f)])
+    if m_pad != m or d_pad != d:
+        x2 = jnp.pad(x2, [(0, m_pad - m), (0, d_pad - d)])
+    if f_pad != f or d_pad != d:
+        w4 = jnp.pad(w4, [(0, (d_pad - d) // 2), (0, f_pad - f)])
+        scale = jnp.pad(scale, [(0, (d_pad - d) // g), (0, f_pad - f)])
     y = _int4_matmul_padded(x2, w4, scale, bool(interpret), jnp.dtype(out_dtype).name,
                             tm, tf, nk)
     return y[:m, :f].reshape(*lead, f)

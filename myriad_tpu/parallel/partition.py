@@ -107,16 +107,20 @@ LLAMA_RULES: List[Rule] = [
     (r"(gate_proj|up_proj)/w_int8$", P(None, "model")),
     (r"(o_proj|down_proj)/w_int8$", P("model", None)),
     # int4 serving layout (Quant4Dense {w_int4 (in//2,out), scale4 (in//g,out)}):
-    # the packed kernel shards like its bf16 counterpart (nibble pairs and
-    # 128-wide groups never straddle a shard boundary for the 7B dims); the
-    # 2-D group scale shards with whichever kernel dim is split
+    # the packed kernel shards like its bf16 counterpart (nibble pairs never
+    # straddle a shard boundary; for column-parallel the input dim is whole).
+    # Row-parallel scale4 is REPLICATED: down_proj's in=11008 gives 86 scale
+    # groups — not divisible by a 4/8-wide model axis, and a sharded scale4
+    # would misalign with w_int4's row shards anyway (the int4 pallas_call is
+    # not custom-partitioned, so XLA gathers the operands regardless; the
+    # (groups, out) plane is ~44 KB/layer — replication is free).
     (r"(q_proj|v_proj)/base/w_int4$", P(None, "model")),
     (r"(q_proj|k_proj|v_proj)/w_int4$", P(None, "model")),
     (r"(gate_proj|up_proj)/w_int4$", P(None, "model")),
     (r"(o_proj|down_proj)/w_int4$", P("model", None)),
     (r"(q_proj|v_proj)/base/scale4$", P(None, "model")),
     (r"(q_proj|k_proj|v_proj|gate_proj|up_proj)/scale4$", P(None, "model")),
-    (r"(o_proj|down_proj)/scale4$", P("model", None)),
+    (r"(o_proj|down_proj)/scale4$", P()),
     (r"(q_proj|v_proj)/base/scale$", P("model")),
     (r"(q_proj|k_proj|v_proj|gate_proj|up_proj)/scale$", P("model")),
     (r"(o_proj|down_proj)/scale$", P()),

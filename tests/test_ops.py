@@ -68,6 +68,24 @@ def test_mha_forced_pallas_routes_int8_kv(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_mha_forced_pallas_warns_on_multitoken(rng, monkeypatch):
+    """Forcing Pallas with tq>1 falls back to XLA — loudly, so a dispatch
+    test feeding a multi-token chunk can't silently validate the wrong
+    path (ADVICE r2 #5)."""
+    import warnings
+
+    monkeypatch.setenv("MYRIAD_FORCE_PALLAS", "1")
+    q = jnp.asarray(rng.normal(size=(1, 2, 4, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 8, 16)), jnp.float32)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = mha(q, k, k)
+    assert out.shape == (1, 2, 4, 16)
+    assert any("tq=4" in str(w.message) for w in caught), [
+        str(w.message) for w in caught
+    ]
+
+
 def test_mha_dispatch_cpu_uses_xla(rng):
     # on CPU the dispatcher must not try to compile the TPU kernel
     q = jnp.asarray(rng.normal(size=(1, 2, 4, 16)), jnp.float32)

@@ -157,6 +157,39 @@ def test_int4_matmul_matches_dequant(rng):
                                atol=0.04 * out_scale)
 
 
+def test_int4_matmul_contraction_split_engages(rng):
+    """d=11008 (the 7B down_proj input dim) at the m<=256 pallas-gate edge:
+    the contraction must split into aligned chunks (nk=2, td=5632 after
+    padding — a power-of-two halving can't split 11008) and still match the
+    dequant reference.  Guards the VMEM-fitting split (ADVICE r2 #1)."""
+    import myriad_tpu.ops.quant as q
+
+    d, f, m = 11008, 128, 256
+    x = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32) * 0.05)
+    w = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32) * 0.05)
+    w4, scale = quantize_int4_grouped(w)
+    ref = x @ dequant_int4(w4, scale)
+    out_scale = float(np.abs(np.asarray(ref)).max())
+
+    calls = {}
+    orig = q._int4_matmul_padded
+
+    def spy(x, w4, scale, interpret, out_dtype_name, tm, tf, nk):
+        calls["nk"] = nk
+        calls["td"] = x.shape[1] // nk
+        return orig(x, w4, scale, interpret, out_dtype_name, tm, tf, nk)
+
+    q._int4_matmul_padded = spy
+    try:
+        out = int4_matmul(x, w4, scale, interpret=True, use_pallas=True)
+    finally:
+        q._int4_matmul_padded = orig
+    assert calls["nk"] == 2, calls
+    assert calls["td"] % 256 == 0, calls  # lane- and group-aligned chunks
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.01 * out_scale)
+
+
 def test_int4_llama_close_to_bf16(rng):
     """int4-quantized params through the int4 model ~= original fp32 model
     (tiny model, loose tolerance — int4 is a 16-level grid)."""
