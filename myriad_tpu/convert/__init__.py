@@ -18,6 +18,7 @@ from myriad_tpu.convert.simplenet import (
     convert_simplenet_head_state_dict,
     convert_wide_resnet50_state_dict,
 )
+from myriad_tpu.convert.networks import convert_myriad_trainables_state_dict
 
 __all__ = [
     "convert_llama_state_dict",
@@ -27,4 +28,5 @@ __all__ = [
     "convert_anomaly_decoder_state_dict",
     "convert_simplenet_head_state_dict",
     "convert_wide_resnet50_state_dict",
+    "convert_myriad_trainables_state_dict",
 ]

@@ -213,15 +213,23 @@ class MyriadModule(nn.Module):
         after_ids: jnp.ndarray,  # (La,) piece after
         stage: int,
         bos_id: int = 1,
+        add_bos: bool = True,
     ) -> jnp.ndarray:
-        """[bos][before][img tokens][after] embeddings (prompt_wrap,
-        myriad.py:354-375 + bos handling :414-420)."""
+        """[bos?][before][img tokens][after] embeddings (prompt_wrap,
+        myriad.py:354-375).  ``add_bos`` mirrors the reference's train/serve
+        split: training prepends a bos embedding (myriad.py:414-420), but
+        ``generate`` hands the wrapped embeds straight to HF generate with
+        NO bos (myriad.py:445-451 + modeling_llama.py:751-753 pass
+        inputs_embeds only on the first step) — transcript identity with
+        the reference therefore requires add_bos=False when serving."""
         b = image.shape[0]
         img = self.encode_img(image, maps, stage)
-        bos = self.embed_tokens(jnp.full((b, 1), bos_id, jnp.int32))
         before = self.embed_tokens(jnp.broadcast_to(before_ids[None], (b, before_ids.shape[0])))
         after = self.embed_tokens(jnp.broadcast_to(after_ids[None], (b, after_ids.shape[0])))
-        return jnp.concatenate([bos, before, img.astype(bos.dtype), after], axis=1)
+        pieces = [before, img.astype(before.dtype), after]
+        if add_bos:
+            pieces.insert(0, self.embed_tokens(jnp.full((b, 1), bos_id, jnp.int32)))
+        return jnp.concatenate(pieces, axis=1)
 
     # -- training forward (myriad.py:377-431) --------------------------------
     def forward_train(
@@ -286,6 +294,7 @@ class Myriad(BaseModel):
         vis_expert: str = "adrefexpert",
         vis_expert_args: Optional[Dict] = None,
         spec_k: int = 0,
+        bos_at_generate: bool = False,
     ):
         self.arch = arch or MyriadArch.full()
         if use_lora:
@@ -308,6 +317,10 @@ class Myriad(BaseModel):
         # speculative decoding: verify spec_k drafted tokens per weight pass
         # (transcript-exact, generation.py). 0 = plain greedy.
         self.spec_k = int(spec_k)
+        # the reference serves WITHOUT a bos embedding (generate passes the
+        # wrapped embeds straight to HF generate, myriad.py:445-451) though
+        # training prepends one — False matches reference transcripts
+        self.bos_at_generate = bool(bos_at_generate)
         policy = policy or Policy.bf16()
         self.policy = policy
 
@@ -624,7 +637,10 @@ class Myriad(BaseModel):
         return np.asarray(ids, np.int32)
 
     def _decode_fn(self, llama, gen_cfg, cache_dtype, lookup_ids):
-        """greedy_generate, or its speculative twin when spec_k > 0."""
+        """greedy_generate, or its speculative twin when spec_k > 0.
+
+        Returns a fn (params, embeds, rng) -> (tokens, stats) where stats is
+        the spec acceptance counter dict ({} on the plain path)."""
         from myriad_tpu.generation import greedy_generate, speculative_generate
 
         if self.spec_k > 0 and not gen_cfg.do_sample:
@@ -635,13 +651,15 @@ class Myriad(BaseModel):
                 return speculative_generate(
                     llama, params, embeds, config=gen_cfg, spec_k=spec_k,
                     lookup_ids=lookup, cache_dtype=cache_dtype,
+                    return_stats=True,
                 )
 
             return decode
 
         def decode(params, embeds, rng):
-            return greedy_generate(llama, params, embeds, config=gen_cfg,
-                                   rng=rng, cache_dtype=cache_dtype)
+            tokens = greedy_generate(llama, params, embeds, config=gen_cfg,
+                                     rng=rng, cache_dtype=cache_dtype)
+            return tokens, {}
 
         return decode
 
@@ -655,12 +673,28 @@ class Myriad(BaseModel):
         (VERDICT r1 weak #4; this is the same fusion bench.py measures)."""
         from myriad_tpu.generation import GenerationConfig, greedy_generate
 
+        defaults = GenerationConfig()
         gen_cfg = GenerationConfig(
             max_new_tokens=generate_kwargs.get("max_new_tokens", 90),
             do_sample=generate_kwargs.get("do_sample", False),
             top_p=generate_kwargs.get("top_p", 0.01),
             temperature=generate_kwargs.get("temperature", 1.0),
+            # stop/eos overrides (the reference harness passes its '###'
+            # stopping_criteria explicitly, evaluation_aqa_dataset.py:268-270;
+            # tests with tiny vocabularies need in-range ids)
+            eos_token_id=generate_kwargs.get("eos_token_id", defaults.eos_token_id),
+            pad_token_id=generate_kwargs.get("pad_token_id", defaults.pad_token_id),
+            stop_single=generate_kwargs.get("stop_single", defaults.stop_single),
+            stop_pair=tuple(generate_kwargs.get("stop_pair", defaults.stop_pair)),
         )
+        if gen_cfg.do_sample and gen_cfg.top_p <= 0.01:
+            # the reference's shipped kwargs are do_sample=True top_p=0.01
+            # (evaluation_aqa_dataset.py:289-301) — ≈greedy (the README
+            # pledges greedy, Readme.md:42; equality on peaked logits is
+            # test-verified in test_generation_invariance).  Route to the
+            # deterministic greedy path so speculative decoding
+            # (llm_spec_k) engages under the reference protocol.
+            gen_cfg = dataclasses.replace(gen_cfg, do_sample=False)
         seed = int(generate_kwargs.get("seed", 0))
         stage = 1
         ve = self.vision_expert
@@ -674,11 +708,17 @@ class Myriad(BaseModel):
         before, after = self.split_prompt(question)
 
         # one jit for the whole pipeline (prefill + decode while-loop) —
-        # op-by-op dispatch of the decode loop is latency-bound on remote TPU
+        # op-by-op dispatch of the decode loop is latency-bound on remote TPU.
+        # The spec-decode lookup corpus bakes `after`'s VALUES into the
+        # closure, so the cache key carries them too — a same-shape batch
+        # with a different prompt must not reuse a stale draft corpus
+        # (output stays transcript-exact either way; acceptance degrades)
+        spec_key = bytes(np.asarray(after).tobytes()) if self.spec_k > 0 else None
         key = ("generate", stage, image.shape, before.shape, after.shape, gen_cfg,
-               self.spec_k)
+               self.spec_k, spec_key, self.bos_at_generate)
         if key not in self._jit_cache:
             module = self.module
+            add_bos = self.bos_at_generate
             llama = LlamaForCausalLM(self.arch.llama, self.policy.compute_dtype,
                                      self.policy.param_dtype)
             cache_dtype = ("int8" if self.arch.llama.kv_cache_dtype == "int8"
@@ -690,17 +730,21 @@ class Myriad(BaseModel):
             def gen(params, image, maps, before, after, rng):
                 embeds = module.apply(
                     {"params": params}, image, maps, before, after, stage,
+                    add_bos=add_bos,
                     method=MyriadModule.prefill_embeds,
                 )
                 return decode({"params": params["llama"]}, embeds, rng)
 
             self._jit_cache[key] = gen
-        tokens = self._jit_cache[key](
+        tokens, spec_stats = self._jit_cache[key](
             self.params, jnp.asarray(image), use_maps,
             jnp.asarray(before), jnp.asarray(after),
             jax.random.PRNGKey(int(generate_kwargs.get("seed", 0))),
         )
-        return {"token_ids": tokens, "ve_anomaly_maps": use_maps}
+        out = {"token_ids": tokens, "ve_anomaly_maps": use_maps}
+        if spec_stats:
+            out["spec_stats"] = spec_stats
+        return out
 
     def _generate_fused(self, samples: Dict, stage: int, gen_cfg, seed: int) -> Dict:
         """VE maps + encode + prefill + decode in one compiled program.
@@ -724,10 +768,14 @@ class Myriad(BaseModel):
         scene_idx = ve.scene_ids(scenes)
         ref_bank = tuple(ve._ref_bank) if one_shot else ()
 
+        # see `generate`: spec lookup ids are closure-baked from after's values
+        spec_key = bytes(np.asarray(after).tobytes()) if self.spec_k > 0 else None
         key = ("fused_gen", stage, one_shot, image.shape, image.dtype.str,
-               before.shape, after.shape, gen_cfg, self.spec_k)
+               before.shape, after.shape, gen_cfg, self.spec_k, spec_key,
+               self.bos_at_generate)
         if key not in self._jit_cache:
             module, ve_module = self.module, ve.module
+            add_bos = self.bos_at_generate
             llama = LlamaForCausalLM(self.arch.llama, self.policy.compute_dtype,
                                      self.policy.param_dtype)
             cache_dtype = ("int8" if self.arch.llama.kv_cache_dtype == "int8"
@@ -750,18 +798,22 @@ class Myriad(BaseModel):
                     )
                 embeds = module.apply(
                     {"params": params}, image, maps, before, after, stage,
+                    add_bos=add_bos,
                     method=MyriadModule.prefill_embeds,
                 )
-                tokens = decode({"params": params["llama"]}, embeds, rng)
-                return tokens, maps
+                tokens, stats = decode({"params": params["llama"]}, embeds, rng)
+                return tokens, stats, maps
 
             self._jit_cache[key] = gen
-        tokens, maps = self._jit_cache[key](
+        tokens, spec_stats, maps = self._jit_cache[key](
             self.params, ve.params, ve._text_feats, ref_bank, scene_idx,
             jnp.asarray(image), jnp.asarray(before), jnp.asarray(after),
             jax.random.PRNGKey(seed),
         )
-        return {"token_ids": tokens, "ve_anomaly_maps": maps}
+        out = {"token_ids": tokens, "ve_anomaly_maps": maps}
+        if spec_stats:
+            out["spec_stats"] = spec_stats
+        return out
 
     # -- pretrained weight bootstrap (SURVEY.md §5.4) ---------------------------
     #: weights-config key -> where the converted npz tree merges
@@ -988,6 +1040,9 @@ class Myriad(BaseModel):
             # speculative decoding: verify llm_spec_k drafted tokens per
             # weight pass during generate (transcript-exact; 0 = off)
             spec_k=cfg.get("llm_spec_k", 0),
+            # reference-parity default: serve without a bos embedding
+            # (myriad.py:445-451); True restores the round-1/2 behavior
+            bos_at_generate=cfg.get("bos_at_generate", False),
         )
 
         # pretrained tower bootstrap: `weights: {vit, qformer, llama,

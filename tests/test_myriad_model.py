@@ -121,6 +121,7 @@ def test_fused_generate_matches_two_step():
     embeds = model.module.apply(
         {"params": model.params}, jnp.asarray(np.asarray(s["image"], np.float32)),
         maps, jnp.asarray(before), jnp.asarray(after), 1,
+        add_bos=False,  # generate serves without bos (reference parity)
         method=MyriadModule.prefill_embeds,
     )
     import jax
