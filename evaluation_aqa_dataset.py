@@ -194,9 +194,13 @@ def main():
 
     t_loop0 = time.time()
     completions = []  # (wall time when the batch's results landed, real_images)
+    spec_totals = {"accepted": 0, "drafted": 0, "rounds": 0}
 
     def flush(writer, samples, outputs, real_bs):
         """Block on a batch's device results and write its jsonl rows."""
+        if "spec_stats" in outputs:  # speculative decode acceptance counters
+            for k in spec_totals:
+                spec_totals[k] += int(np.asarray(outputs["spec_stats"][k]))
         token_ids = np.asarray(outputs["token_ids"])[:real_bs]
         token_ids = np.clip(token_ids, 1, 40000)
         output_text = model.llama_tokenizer.batch_decode(token_ids)
@@ -257,15 +261,25 @@ def main():
         # protocol as bench.py
         secs = completions[-1][0] - completions[0][0]
         imgs = sum(n for _, n in completions[1:])
-        print(json.dumps({
+        line = {
             "metric": "images/sec (AQA eval harness, fused generate, "
-                      f"{args.max_new_tokens}-token decode)",
+                      f"{args.max_new_tokens}-token decode"
+                      + (f", spec K={model.spec_k}" if model.spec_k else "")
+                      + ")",
             "value": round(imgs / max(secs, 1e-9), 4),
             "unit": "images/sec",
             "batches": n_batches - 1,
             "batch_size": args.bs,
             "compile_batch_s": round(completions[0][0] - t_loop0, 2),
-        }))
+        }
+        if spec_totals["drafted"]:
+            # measured draft acceptance: where this run sits between the
+            # n-gram floor and the oracle bound (BENCH_NOTES curve)
+            line["spec_acceptance"] = round(
+                spec_totals["accepted"] / spec_totals["drafted"], 4
+            )
+            line["spec_rounds"] = spec_totals["rounds"]
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":

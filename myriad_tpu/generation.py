@@ -123,6 +123,7 @@ def speculative_generate(
     lookup_ids: Optional[jnp.ndarray] = None,
     oracle_drafts: Optional[jnp.ndarray] = None,
     cache_dtype=jnp.bfloat16,
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Greedy generation with self-speculative decoding — transcript-exact.
 
@@ -139,6 +140,13 @@ def speculative_generate(
     to ``greedy_generate`` (tested), rows accept independently (the KV
     cache carries per-row write indices; stale entries from a rollback are
     masked by position-causality, llama.py mask note).
+
+    ``return_stats=True`` additionally returns a dict of int32 scalars
+    measured on device: ``accepted`` (draft tokens verified correct over
+    active rows), ``drafted`` (draft tokens proposed over active rows) and
+    ``rounds`` (verify weight passes) — acceptance rate =
+    accepted/drafted, the number that places real serving between the
+    n-gram floor and the oracle bound (BENCH_NOTES acceptance curve).
     """
     cfg = config or GenerationConfig()
     assert not cfg.do_sample, "speculative decoding is greedy-only"
@@ -179,6 +187,9 @@ def speculative_generate(
         done=done0,
         cache=cache,
         tokens=tokens,
+        accepted=jnp.int32(0),                 # verified draft tokens (active rows)
+        drafted=jnp.int32(0),                  # proposed draft tokens (active rows)
+        rounds=jnp.int32(0),                   # verify weight passes
     )
 
     def draft_tokens(st):
@@ -264,11 +275,19 @@ def speculative_generate(
         new_prev = jnp.take_along_axis(chain, a[:, None], axis=1)[:, 0]
         # restore true per-row frontiers (attention advanced them by K+1)
         cache = tuple(dict(c, index=length) for c in cache)
+        active = (~st["done"]).astype(jnp.int32)
         return dict(length=length, n_emit=n_emit, last=new_last, prev=new_prev,
-                    done=done, cache=cache, tokens=tokens)
+                    done=done, cache=cache, tokens=tokens,
+                    accepted=st["accepted"] + jnp.sum(a * active),
+                    drafted=st["drafted"] + K * jnp.sum(active),
+                    rounds=st["rounds"] + 1)
 
     st = jax.lax.while_loop(cond, body, state)
-    return st["tokens"][:, :max_new]
+    out = st["tokens"][:, :max_new]
+    if return_stats:
+        return out, {"accepted": st["accepted"], "drafted": st["drafted"],
+                     "rounds": st["rounds"]}
+    return out
 
 
 def decode_stop_trimmed(token_rows, tokenizer, cfg: Optional[GenerationConfig] = None):

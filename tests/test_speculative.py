@@ -186,6 +186,58 @@ def test_myriad_generate_spec_matches_greedy():
     )
 
 
+def test_spec_acceptance_stats(tiny):
+    """return_stats counters: oracle drafts accept 100%, garbage ~0%, and
+    the rate is the measured number the harness emits (VERDICT r2 next #5)."""
+    model, params, embeds = tiny
+    cfg = GenerationConfig(max_new_tokens=12, **NO_STOP)
+    ref = greedy_generate(model, params, embeds, config=cfg,
+                          cache_dtype=jnp.float32)
+    _, stats = speculative_generate(
+        model, params, embeds, config=cfg, spec_k=3, oracle_drafts=ref,
+        cache_dtype=jnp.float32, return_stats=True,
+    )
+    accepted, drafted = int(stats["accepted"]), int(stats["drafted"])
+    assert drafted > 0 and accepted == drafted  # 100% acceptance
+    garbage = jnp.full_like(ref, 1)
+    toks, stats0 = speculative_generate(
+        model, params, embeds, config=cfg, spec_k=3, oracle_drafts=garbage,
+        cache_dtype=jnp.float32, return_stats=True,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+    # constant-1 drafts only accept where the true token IS 1
+    true_ones = int((np.asarray(ref) == 1).sum())
+    assert int(stats0["accepted"]) <= true_ones * 2
+    assert int(stats0["rounds"]) > int(stats["rounds"])  # more weight passes
+
+
+def test_reference_protocol_routes_to_spec():
+    """The reference's shipped kwargs (do_sample=True, top_p=0.01) engage
+    speculation when llm_spec_k is set: generate returns spec_stats and the
+    tokens equal the explicit-greedy run (Readme.md:42 pledges greedy)."""
+    from myriad_tpu.models.layers import Policy
+    from myriad_tpu.models.myriad import Myriad, MyriadArch
+
+    rng = np.random.default_rng(2)
+    samples = {
+        "image": rng.normal(size=(2, 28, 28, 3)).astype(np.float32),
+        "scene": ["bottle", "bottle"],
+        "question": "<Img><ImageHere></Img> Is there an anomaly?",
+    }
+    m = Myriad(arch=MyriadArch.tiny(), use_ve=True, policy=Policy.fp32(),
+               max_txt_len=16, spec_k=2, seed=11)
+    ve = m.vision_expert
+    ve.class_names = ["bottle"]
+    ve.class_index = {"bottle": 0}
+    ve.build_text_features()
+    ref_protocol = m.generate(samples, max_new_tokens=8, do_sample=True,
+                              top_p=0.01, temperature=1.0)
+    assert "spec_stats" in ref_protocol, "spec did not engage under top_p=0.01"
+    greedy = m.generate(samples, max_new_tokens=8, do_sample=False)
+    np.testing.assert_array_equal(np.asarray(ref_protocol["token_ids"]),
+                                  np.asarray(greedy["token_ids"]))
+
+
 def test_spec_quant_weights(tiny):
     """int8-weight serving model: spec == greedy (the verify pass runs the
     same QuantDense matmuls)."""
