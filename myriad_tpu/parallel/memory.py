@@ -75,6 +75,74 @@ def prefill_activation_bound(
     return 4 * hidden + inter + logits
 
 
+def remat_train_activation_bound(
+    config, batch: int, seq: int, n_model: int = 1, compute_bytes: int = 2
+) -> int:
+    """Upper bound on live activations for a REMAT train step per chip.
+
+    With per-layer rematerialization (LlamaConfig.remat) the backward pass
+    keeps only the checkpointed layer-boundary residual streams — one
+    (B, T, hidden) tensor per layer — plus ONE layer's full recomputed
+    activation set (the prefill bound), plus the fp32 LM-head logits and
+    their cotangent at the loss (the largest single buffer:
+    (B, T-1, vocab) x 4 bytes x 2).
+    """
+    boundaries = config.num_layers * batch * seq * config.hidden_size * compute_bytes
+    one_layer = prefill_activation_bound(config, batch, seq, n_model, compute_bytes)
+    vocab = config.vocab_size // max(n_model, 1)
+    ce = 2 * batch * max(seq - 1, 1) * vocab * 4
+    return boundaries + one_layer + ce
+
+
+def train_state_bytes_per_chip(shapes_tree, shardings_tree, trainable_pred) -> Dict:
+    """Per-chip bytes of the TRAIN-only state: fp32 gradients + AdamW
+    mu/nu moments for every trainable leaf (path-predicate selected, the
+    same split Myriad uses).  Moments/grads shard like their parameters."""
+    from myriad_tpu.parallel.partition import param_path
+
+    grads = 0
+    flat_shapes = jax.tree_util.tree_leaves_with_path(shapes_tree)
+    flat_shard = jax.tree_util.tree_leaves(
+        shardings_tree, is_leaf=lambda x: hasattr(x, "shard_shape")
+    )
+    for (path, leaf), sharding in zip(flat_shapes, flat_shard):
+        if trainable_pred(param_path(path)):
+            shard = sharding.shard_shape(tuple(leaf.shape))
+            grads += math.prod(shard) * 4  # fp32
+    return {"grad_bytes": grads, "moment_bytes": 2 * grads}
+
+
+def train_fit_report(
+    shapes_tree,
+    shardings_tree,
+    trainable_pred,
+    *,
+    llama_config,
+    batch: int,
+    seq: int,
+    kv_dtype=None,
+    n_model: int = 1,
+    hbm_bytes: int = 16 * GIB,
+) -> Dict:
+    """Per-chip budget for the stage-2 finetune step (BASELINE config 4):
+    params + grads + Adam moments (trainables only, runner_base.py-style
+    trainable-only optimizer) + remat activation bound."""
+    params = tree_bytes_per_chip(shapes_tree, shardings_tree)
+    state = train_state_bytes_per_chip(shapes_tree, shardings_tree, trainable_pred)
+    act = remat_train_activation_bound(llama_config, batch, seq, n_model)
+    total = params + state["grad_bytes"] + state["moment_bytes"] + act
+    return {
+        "params_bytes": params,
+        "grad_bytes": state["grad_bytes"],
+        "moment_bytes": state["moment_bytes"],
+        "activation_bound_bytes": act,
+        "total_bytes": total,
+        "hbm_bytes": hbm_bytes,
+        "fits": total < hbm_bytes,
+        "utilization": total / hbm_bytes,
+    }
+
+
 def fit_report(
     shapes_tree,
     shardings_tree,

@@ -180,6 +180,92 @@ def test_v5e8_sharded_plan_fits_with_no_large_fallbacks(full_shapes):
     assert total < 8 * GIB, f"{total / GIB:.2f} GiB"
 
 
+@pytest.fixture(scope="module")
+def train_shapes():
+    """Abstract shapes of the stage-2 LoRA finetune model (BASELINE config
+    4: int8 frozen base + LoRA q/v + remat, the bench --mode train arch).
+    Frozen float leaves store bf16 (Myriad._cast_frozen), trainables fp32."""
+    import dataclasses
+
+    from myriad_tpu.models.myriad import Myriad
+
+    arch = MyriadArch.full()
+    arch = dataclasses.replace(
+        arch,
+        llama=dataclasses.replace(arch.llama, weight_dtype="int8",
+                                  use_lora=True, remat=True),
+    )
+    module = MyriadModule(arch, use_grad_checkpoint=True,
+                          dtype=jnp.bfloat16, param_dtype=jnp.float32)
+    img = jnp.zeros((1, arch.img_size, arch.img_size, 3), jnp.float32)
+    maps = jnp.zeros((1, arch.map_size, arch.map_size, 1), jnp.float32)
+    ids = jnp.zeros((2,), jnp.int32)
+    text = jnp.zeros((1, 2), jnp.int32)
+    mask = jnp.ones((1, 2), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda r: module.init(r, img, maps, ids, ids, text, mask, 1,
+                              method=MyriadModule.forward_train),
+        jax.random.PRNGKey(0),
+    )["params"]
+
+    import re
+
+    def trainable(path: str) -> bool:
+        return (path.startswith(("expert_adaptor", "ve_instructor",
+                                 "ve_tokenizer"))
+                or bool(re.search(r"lora_[ab]", path)))
+
+    # frozen float leaves -> bf16 storage (the serving/training cast)
+    def cast(key_path, leaf):
+        path = partition.param_path(key_path)
+        if trainable(path) or not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf
+        name = path.rsplit("/", 1)[-1]
+        if name in ("scale", "scale4"):
+            return leaf
+        return jax.ShapeDtypeStruct(leaf.shape, jnp.bfloat16)
+
+    shapes = jax.tree_util.tree_map_with_path(cast, shapes)
+    return arch, shapes, trainable
+
+
+def test_train_lora_single_chip_bench_batch_fits(train_shapes):
+    """The measured train bench profile (one chip, batch 8, remat, int8
+    frozen base) is within the 16 GiB budget by the eval-shape math —
+    grads + Adam moments for the trainable subtree included."""
+    arch, shapes, trainable = train_shapes
+    mesh = make_mesh(n_model=1, devices=jax.devices()[:1])
+    sh = partition.tree_shardings(shapes, mesh, partition.myriad_rules())
+    report = memory.train_fit_report(
+        shapes, sh, trainable, llama_config=arch.llama, batch=8, seq=512,
+        n_model=1,
+    )
+    assert report["fits"], f"{report['total_bytes'] / GIB:.2f} GiB"
+    # the train-only state is small (LoRA + ~115M of adaptors — the
+    # VETokenizer 5x5 head dominates — NOT the 7B base, whose Adam state
+    # would be ~84 GiB): trainable-only optimization is what makes
+    # single-chip training viable (reference runner_base.py:598-605)
+    assert report["grad_bytes"] + report["moment_bytes"] < 2 * GIB
+
+
+def test_train_lora_v5e8_reference_envelope_fits(train_shapes):
+    """BASELINE config 4: the stage-2 LoRA finetune sharded over a v5e-8
+    mesh at the reference batch envelope (2 GPUs x bs4 halved to 2 for the
+    AD dataset x2 aug-concat = 8; run at 16 for headroom in the proof)."""
+    arch, shapes, trainable = train_shapes
+    mesh = make_mesh(n_model=8)
+    sh = partition.tree_shardings(shapes, mesh, partition.myriad_rules())
+    report = memory.train_fit_report(
+        shapes, sh, trainable, llama_config=arch.llama, batch=16, seq=512,
+        n_model=8,
+    )
+    assert report["fits"], f"{report['total_bytes'] / GIB:.2f} GiB"
+    # sharded training must leave >40% headroom for temps/fragmentation
+    assert report["total_bytes"] < 9.6 * GIB, (
+        f"{report['total_bytes'] / GIB:.2f} GiB"
+    )
+
+
 def test_sharded_leaf_math_matches_shard_shape(full_shapes):
     """leaf_bytes_per_chip uses the exact GSPMD shard shape, not div-rounding."""
     arch, shapes, _ = full_shapes
