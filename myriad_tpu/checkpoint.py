@@ -188,12 +188,22 @@ class CheckpointManager:
         return os.path.join(self.output_dir, f"checkpoint_{tag}")
 
     def save(self, tag, state: Dict) -> str:
-        """state: json-able scalars + param/opt trees. Saved as orbax dir."""
+        """state: json-able scalars + param/opt trees. Saved as orbax dir.
+
+        COLLECTIVE in multi-process jobs: orbax synchronizes all processes
+        inside ``save`` (a rank-gated call deadlocks on the name barrier),
+        so every process must call this with the SAME shared path; the
+        primary host writes the (replicated) arrays, rank 0 alone handles
+        the directory clear and ring deletion.
+        """
         import orbax.checkpoint as ocp
 
+        from myriad_tpu.common import dist
+
         path = os.path.abspath(self._path(tag))
-        if os.path.exists(path):
+        if dist.is_main_process() and os.path.exists(path):
             shutil.rmtree(path)
+        dist.barrier("ckpt_clear")
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, state)
         ckptr.wait_until_finished()
@@ -201,7 +211,8 @@ class CheckpointManager:
             self._saved.append(path)
             if self.max_checkpoints > 0 and len(self._saved) > self.max_checkpoints:
                 victim = self._saved.pop(0)
-                shutil.rmtree(victim, ignore_errors=True)
+                if dist.is_main_process():
+                    shutil.rmtree(victim, ignore_errors=True)
         return path
 
     def restore(self, tag) -> Optional[Dict]:

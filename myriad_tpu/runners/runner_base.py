@@ -49,7 +49,14 @@ class RunnerBase:
         self.model = model
         self.datasets = datasets
         self.job_id = job_id
-        self.seed = int(self.run_cfg.get("seed", 42)) + dist.get_rank()
+        # base_seed is PROCESS-SYNCHRONIZED: under single-controller SPMD
+        # every process must trace the same program over the global batch,
+        # so anything that feeds jit-static choices (prompt stage/task
+        # stage) or the shared sampler permutation derives from it.  The
+        # rank offset (the reference's seed+rank, train.py:63-72) applies
+        # only to per-rank host work (data-aug workers).
+        self.base_seed = int(self.run_cfg.get("seed", 42))
+        self.seed = self.base_seed + dist.get_rank()
 
         self.max_epoch = int(self.run_cfg.get("max_epoch", 1))
         self.iters_per_epoch = int(self.run_cfg.get("iters_per_epoch", 100))
@@ -160,6 +167,9 @@ class RunnerBase:
         if self._dataloaders is None:
             loaders: Dict[str, Any] = {}
             self._train_ratios = []
+            # shuffle_train=False gives a deterministic sequential order
+            # (debug/repro runs; the multihost equivalence test relies on it)
+            shuffle_train = bool(self.run_cfg.get("shuffle_train", True))
             for name, splits in self.datasets.items():
                 for split, dataset in splits.items():
                     bs = self.batch_size_train
@@ -179,12 +189,17 @@ class RunnerBase:
                         continue
                     sampler = None
                     if dist.get_world_size() > 1:
+                        # seed WITHOUT the rank offset: every rank must draw
+                        # the SAME permutation and take its strided slice —
+                        # rank-dependent seeds would shard overlapping rows
                         sampler = DistributedSampler(
                             dataset, dist.get_world_size(), dist.get_rank(),
-                            shuffle=(split == "train"), seed=self.seed,
+                            shuffle=(split == "train" and shuffle_train),
+                            seed=self.base_seed,
                         )
                     dl = DataLoader(
-                        dataset, batch_size=bs, shuffle=(split == "train"),
+                        dataset, batch_size=bs,
+                        shuffle=(split == "train" and shuffle_train),
                         drop_last=(split == "train"), num_workers=self.num_workers,
                         sampler=sampler, seed=self.seed,
                     )
@@ -254,8 +269,12 @@ class RunnerBase:
 
     # -- checkpoint / resume --------------------------------------------------
     def _save_checkpoint(self, epoch, is_best: bool = False) -> None:
-        if not dist.is_main_process():
-            return
+        # COLLECTIVE: every process calls save (orbax barriers inside; a
+        # rank-0-only call deadlocks, tests/test_multihost_runner.py).  The
+        # reference's rank-0 .pth write (runner_base.py:592-595) maps to
+        # orbax's primary-host write on the shared output_dir.  Trainables
+        # and optimizer state are replicated under myriad_rules(), so the
+        # host copy below is valid on every process.
         state = {
             "model": jax.tree_util.tree_map(np.asarray, self.model.trainable),
             "optimizer": jax.tree_util.tree_map(np.asarray, self.opt_state),
@@ -264,7 +283,8 @@ class RunnerBase:
         }
         tag = "best" if is_best else epoch
         path = self.ckpt_manager.save(tag, state)
-        logging.info("Saved checkpoint at epoch %d to %s", epoch, path)
+        if dist.is_main_process():
+            logging.info("Saved checkpoint at epoch %d to %s", epoch, path)
 
     def _resume(self, path: str) -> None:
         from myriad_tpu import checkpoint as ckpt_lib
@@ -338,7 +358,11 @@ class RunnerBase:
             for split in self.valid_splits:
                 logging.info("Evaluating on %s", split)
                 metrics = self.eval_epoch(split, epoch)
-                if metrics is not None and dist.is_main_process():
+                if metrics is not None:
+                    # the best-ckpt decision must be taken on EVERY process
+                    # (checkpoint saves are collective) — metrics are
+                    # process-consistent because evaluation barriers and the
+                    # logger's cross-host sync run before this point
                     agg = float(metrics.get("agg_metrics", -1.0))
                     if split == self.valid_splits[0] and agg > best_agg:
                         best_agg, best_epoch = agg, epoch

@@ -64,7 +64,13 @@ class BaseTask:
         header = f"Train: data epoch: [{epoch}]"
         logging.info("Start training epoch %d, %d iters per inner epoch.",
                      epoch, iters_per_epoch)
-        rng = np.random.default_rng(runner.seed + epoch)
+        # process-synchronized rng: the prompt-stage/task-stage draws feed
+        # jit-STATIC switches (myriad.py:378-381); under multi-process SPMD
+        # every rank must trace the same program over the global batch, so
+        # the stream must not carry the rank offset (runner.base_seed)
+        rng = np.random.default_rng(
+            getattr(runner, "base_seed", runner.seed) + epoch
+        )
         timer = StepTimer()
         for i in metric_logger.log_every(range(iters_per_epoch), log_freq, header):
             with timer.phase("data"):
