@@ -47,6 +47,45 @@ def overlay_mask(
     return np.clip(blended, 0, 255).astype(np.uint8)
 
 
+def attention_overlay(
+    image: np.ndarray,
+    att_map: np.ndarray,
+    blur: bool = True,
+    overlap: bool = True,
+) -> np.ndarray:
+    """GradCAM-style attention overlay (reference
+    minigpt4/common/gradcam.py:7-25 ``getAttMap``): normalize the map,
+    resize to the image, optionally gaussian-blur, jet-colormap, and
+    alpha-blend with exponent 0.7.
+
+    image: float HWC in [0, 1]; att_map: (h, w) any positive scale.
+    Returns float HWC in [0, 1].  Uses cv2 (cubic resize + JET colormap) +
+    scipy in place of the reference's skimage/matplotlib stack.
+    """
+    import cv2
+    from scipy.ndimage import gaussian_filter
+
+    img = np.asarray(image, np.float32)
+    att = np.asarray(np.squeeze(att_map), np.float32)
+    att = att - att.min()
+    if att.max() > 0:
+        att = att / att.max()
+    att = cv2.resize(att, (img.shape[1], img.shape[0]),
+                     interpolation=cv2.INTER_CUBIC)
+    if blur:
+        att = gaussian_filter(att, 0.02 * max(img.shape[:2]))
+        att = att - att.min()
+        if att.max() > 0:
+            att = att / att.max()
+    att = np.clip(att, 0.0, 1.0)
+    heat = cv2.applyColorMap((att * 255).astype(np.uint8), cv2.COLORMAP_JET)
+    heat = heat[..., ::-1].astype(np.float32) / 255.0  # BGR -> RGB, [0,1]
+    if not overlap:
+        return heat
+    w = (att ** 0.7)[..., None]
+    return (1 - w) * img + w * heat
+
+
 def save_map_grid(path: str, images: np.ndarray, maps: np.ndarray) -> None:
     """Save a side-by-side grid of images and anomaly maps."""
     import cv2
