@@ -36,67 +36,95 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(q_ref, k_ref, v_ref, pos_ref, ks_ref, vs_ref, o_ref, *, scale):
-    q = q_ref[0, 0]  # (tq, d) bf16
-    k = k_ref[0, 0]  # (tk, d) int8 or bf16
-    s = jax.lax.dot_general(
-        q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (tq, tk)
-    if ks_ref is not None:
-        s = s * ks_ref[0, 0, 0].astype(jnp.float32)[None, :]
-    s = s * scale
+def _kernel(q_ref, k_ref, v_ref, pos_ref, ks_ref, vs_ref, o_ref, *, scale,
+            head_block=1):
+    # blocks carry head_block heads per program: at tiny tq (speculative
+    # K+1 verify chunks) one head per program is overhead-dominated —
+    # blocking 8 heads amortizes the grid/program cost while every score
+    # tensor still lives in VMEM.  The head loop is a static unroll.
     pos = pos_ref[0, 0]  # (tq,) int32
-    kiota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(kiota <= pos[:, None], s, _NEG)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    if vs_ref is not None:
-        p = p * vs_ref[0, 0, 0].astype(jnp.float32)[None, :]
-    v = v_ref[0, 0]
-    o = jax.lax.dot_general(
-        p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    for h in range(head_block):
+        q = q_ref[0, h]  # (tq, d) bf16
+        k = k_ref[0, h]  # (tk, d) int8 or bf16
+        s = jax.lax.dot_general(
+            q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tq, tk)
+        if ks_ref is not None:
+            s = s * ks_ref[0, h, 0].astype(jnp.float32)[None, :]
+        s = s * scale
+        kiota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kiota <= pos[:, None], s, _NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if vs_ref is not None:
+            p = p * vs_ref[0, h, 0].astype(jnp.float32)[None, :]
+        v = v_ref[0, h]
+        o = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+def _head_block(tq: int, h: int) -> int:
+    """Heads per program: 1 in the large-tq regime (compute-dominated, max
+    grid parallelism); 8 at tiny tq (speculative verify chunks) where the
+    per-program overhead dominates and blocking amortizes it."""
+    if tq >= 16:
+        return 1
+    import os
+
+    want = int(os.environ.get("MYRIAD_PREFILL_HEAD_BLOCK", "8"))
+    for hb in (want, 8, 4, 2):
+        if hb > 1 and h % hb == 0:
+            return hb
+    return 1
 
 
 def supported(tq: int, tk: int, d: int) -> bool:
     """Whole-KV-in-VMEM regime (scores (tq, tk) fp32 + K/V blocks well
     under the scoped budget).  tq >= 16: at tiny query chunks (speculative
-    K+1 verify feeds) the per-(b,h) program overhead loses to XLA's fused
-    attention — measured 15.4 vs 16.9 img/s at the spec-oracle bench."""
-    return 16 <= tq <= 1024 and tk <= 1024 and d <= 256
+    K+1 verify feeds) even the head-blocked variant (_head_block, several
+    heads per program) loses to XLA's fused attention — measured at the
+    d32/b24 spec-oracle bench: 16.45 (hb=8) / 16.34 (hb=32) vs 18.36
+    img/s XLA, r3 — so the dispatch keeps XLA below 16.  Override the
+    floor with MYRIAD_PREFILL_MIN_TQ to re-measure on runtime updates."""
+    import os
+
+    min_tq = int(os.environ.get("MYRIAD_PREFILL_MIN_TQ", "16"))
+    return min_tq <= tq <= 1024 and tk <= 1024 and d <= 256
 
 
 def _local_call(q, k, v, positions, k_scale, v_scale, scale, interpret, out_dtype_name):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     quant = k_scale is not None
-    kernel = functools.partial(_kernel, scale=scale)
+    hb = _head_block(tq, h)
+    kernel = functools.partial(_kernel, scale=scale, head_block=hb)
     if not quant:
         kernel = (lambda qr, kr, vr, pr, orf, *, _k=kernel: _k(qr, kr, vr, pr, None, None, orf))
     # trailing-two block dims must divide (8,128) or equal the array dims,
     # so the 1-D per-row operands carry an explicit singleton axis
     in_specs = [
-        pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, tk, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, tk, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, tq, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, tk, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, tk, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, tq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [q, k, v, positions[:, None, :]]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, 1, tk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, tk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, 1, tk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, 1, tk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ]
         args += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
     return pl.pallas_call(
         kernel,
-        grid=(b, h),
+        grid=(b, h // hb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, hb, tq, d), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, tq, d), jnp.dtype(out_dtype_name)),
         interpret=interpret,

@@ -30,6 +30,39 @@ def test_prefill_attention_matches_xla(rng, tq, tk):
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("tq,h", [(4, 8), (5, 4), (3, 32)])
+def test_prefill_attention_head_blocked_small_tq(rng, tq, h, monkeypatch):
+    """Tiny-tq feeds run the head-blocked kernel (several heads per
+    program, _head_block) and still match XLA — including the int8-KV
+    scale folding.  The production dispatch keeps XLA below tq=16
+    (measured slower, supported() docstring); MYRIAD_PREFILL_MIN_TQ
+    re-opens the regime for re-measurement."""
+    from myriad_tpu.models.llama import quantize_kv
+    from myriad_tpu.ops.prefill_attention import _head_block, supported
+
+    assert not supported(tq, 64, 16)  # default gate keeps XLA here
+    monkeypatch.setenv("MYRIAD_PREFILL_MIN_TQ", "2")
+    assert supported(tq, 64, 16)
+    assert _head_block(tq, h) > 1
+    b, tk, d = 2, 64, 16
+    q = jnp.asarray(rng.normal(size=(b, h, tq, d)).astype(np.float32))
+    kf = jnp.asarray(rng.normal(size=(b, h, tk, d)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(b, h, tk, d)).astype(np.float32))
+    positions = 10 + jnp.broadcast_to(
+        jnp.arange(tq, dtype=jnp.int32)[None], (b, tq))
+    ref = _xla_ref(q, kf, vf, positions, d**-0.5)
+    out = prefill_attention(q, kf, vf, positions, scale=d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    k8, ks = quantize_kv(kf)
+    v8, vs = quantize_kv(vf)
+    ref8 = _xla_ref(q, k8, v8, positions, d**-0.5, ks, vs)
+    out8 = prefill_attention(q, k8, v8, positions, scale=d**-0.5,
+                             k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref8),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_prefill_attention_int8_kv(rng):
     """int8 KV + per-position scales folded in-kernel == the XLA
     scale-folded path."""
