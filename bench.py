@@ -87,8 +87,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dry-run", action="store_true", help="tiny profile on CPU")
     p.add_argument("--batch", type=int, default=None,
-                   help="default 24 (eval): the largest batch that fits one "
-                        "v5e chip at the d32 int8 serving profile; 8 (train)")
+                   help="default 32 (eval): the largest profitable batch on "
+                        "one v5e chip at the d32 int8 serving profile with "
+                        "chunked prefill; 8 (train)")
     p.add_argument("--profile", type=str, default=None,
                    choices=["bench", "bench16", "tiny", "full"])
     p.add_argument("--iters", type=int, default=3)
@@ -115,6 +116,12 @@ def main():
     p.add_argument("--mode", type=str, default="eval", choices=["eval", "train"],
                    help="eval: AQA decode step (default); train: stage-2 "
                         "LoRA finetune step samples/sec (BASELINE config 4)")
+    p.add_argument("--prefill-chunks", type=int, default=3, metavar="N",
+                   help="split the prefill into N sequential chunks "
+                        "(token-exact): per-chunk activation temps shrink "
+                        "~N-fold — the batch-28/32 enabler (memprobe "
+                        "attribution) at ~+1 weight re-stream per chunk; "
+                        "1 restores single-shot prefill")
     p.add_argument("--breakdown", action="store_true",
                    help="additionally time VE-maps / prefill / decode phases")
     p.add_argument("--spec", type=int, default=0, metavar="K",
@@ -168,7 +175,7 @@ def main():
             imagebind=dataclasses.replace(arch.imagebind, weight_dtype="int8"),
         )
     if args.batch is None:
-        args.batch = 8 if args.mode == "train" else 24
+        args.batch = 8 if args.mode == "train" else 32
     b = args.batch if profile != "tiny" else 2
     print(f"[bench] profile={profile} batch={b} device={jax.devices()[0]}",
           file=sys.stderr)
@@ -205,7 +212,7 @@ def main():
                              model.policy.param_dtype)
     gen_cfg = GenerationConfig(
         max_new_tokens=DECODE_TOKENS, eos_token_id=-1, stop_single=-1,
-        stop_pair=(-1, -1),
+        stop_pair=(-1, -1), prefill_chunks=args.prefill_chunks,
     )  # stops disabled: measure the full 90-token budget deterministically
 
     params = model.params

@@ -36,10 +36,52 @@ class GenerationConfig:
     do_sample: bool = False
     top_p: float = 0.01
     temperature: float = 1.0
+    # split the prefill into N sequential lax.scan chunks: per-chunk
+    # activation temps shrink ~N-fold and the scanned cache carry forces
+    # XLA to reuse one buffer set across chunks — the batch-28/32 OOM at
+    # 7B scale is prefill-temp-bound (tools/memprobe.py attribution).
+    # Token-exact for any N (positions/causality are index-based).  Values
+    # that don't divide the prefix fall back to the largest divisor.
+    prefill_chunks: int = 1
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _chunk_count(p: int, want: int) -> int:
+    """Largest divisor of p that is <= want (1 if want<=1)."""
+    want = max(int(want), 1)
+    for n in range(min(want, p), 0, -1):
+        if p % n == 0:
+            return n
+    return 1
+
+
+def _prefill(model, params, inputs_embeds, cache, n_chunks: int):
+    """Prefill the cache, optionally in sequential scan chunks.
+
+    Returns (last_position_logits, cache).  Chunking divides the live
+    activation temps by ~n_chunks (each scan step reuses one buffer set)
+    at the cost of re-streaming the weights once per chunk — decisive for
+    batch 28/32 at 7B scale where prefill temps are the OOM margin.
+    """
+    b, p, d = inputs_embeds.shape
+    n = _chunk_count(p, n_chunks)
+    if n <= 1:
+        logits, cache = model.apply(params, inputs_embeds, cache=cache,
+                                    method=LlamaForCausalLM.prefill)
+        return logits, cache
+    csz = p // n
+    chunks = inputs_embeds.reshape(b, n, csz, d).transpose(1, 0, 2, 3)
+
+    def step(cache, chunk):
+        logits, cache = model.apply(params, chunk, cache=cache,
+                                    method=LlamaForCausalLM.prefill)
+        return cache, logits
+
+    cache, logits = jax.lax.scan(step, cache, chunks)
+    return logits[-1], cache
 
 
 def _select_token(logits: jnp.ndarray, cfg: GenerationConfig, rng) -> jnp.ndarray:
@@ -80,9 +122,8 @@ def greedy_generate(
     cache = init_cache(model.config, b, max_len, cache_dtype)
 
     # --- prefill (last-position logits only) ------------------------------
-    logits, cache = model.apply(
-        params, inputs_embeds, cache=cache, method=LlamaForCausalLM.prefill
-    )
+    logits, cache = _prefill(model, params, inputs_embeds, cache,
+                             cfg.prefill_chunks)
     last = _select_token(logits[:, -1].astype(jnp.float32), cfg, rng)
 
     # --- decode loop ------------------------------------------------------
@@ -158,9 +199,8 @@ def speculative_generate(
     cache = init_cache(model.config, b, max_len, cache_dtype)
 
     # --- prefill (scalar write index, rows aligned) -----------------------
-    logits, cache = model.apply(
-        params, inputs_embeds, cache=cache, method=LlamaForCausalLM.prefill
-    )
+    logits, cache = _prefill(model, params, inputs_embeds, cache,
+                             cfg.prefill_chunks)
     last = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(jnp.int32)
     # switch to per-row write indices for ragged acceptance
     cache = tuple(dict(c, index=jnp.full((b,), p, jnp.int32)) for c in cache)

@@ -295,6 +295,7 @@ class Myriad(BaseModel):
         vis_expert_args: Optional[Dict] = None,
         spec_k: int = 0,
         bos_at_generate: bool = False,
+        prefill_chunks: int = 1,
     ):
         self.arch = arch or MyriadArch.full()
         if use_lora:
@@ -321,6 +322,9 @@ class Myriad(BaseModel):
         # wrapped embeds straight to HF generate, myriad.py:445-451) though
         # training prepends one — False matches reference transcripts
         self.bos_at_generate = bool(bos_at_generate)
+        # chunked prefill (token-exact, generation._prefill): the batch-32
+        # memory lever; 1 = single-shot
+        self.prefill_chunks = int(prefill_chunks)
         policy = policy or Policy.bf16()
         self.policy = policy
 
@@ -686,6 +690,8 @@ class Myriad(BaseModel):
             pad_token_id=generate_kwargs.get("pad_token_id", defaults.pad_token_id),
             stop_single=generate_kwargs.get("stop_single", defaults.stop_single),
             stop_pair=tuple(generate_kwargs.get("stop_pair", defaults.stop_pair)),
+            prefill_chunks=generate_kwargs.get("prefill_chunks",
+                                               self.prefill_chunks),
         )
         if gen_cfg.do_sample and gen_cfg.top_p <= 0.01:
             # the reference's shipped kwargs are do_sample=True top_p=0.01
@@ -1043,6 +1049,9 @@ class Myriad(BaseModel):
             # reference-parity default: serve without a bos embedding
             # (myriad.py:445-451); True restores the round-1/2 behavior
             bos_at_generate=cfg.get("bos_at_generate", False),
+            # chunked prefill (token-exact): set 3 to serve batch 28-32 on
+            # one chip (generation.GenerationConfig.prefill_chunks)
+            prefill_chunks=cfg.get("llm_prefill_chunks", 1),
         )
 
         # pretrained tower bootstrap: `weights: {vit, qformer, llama,

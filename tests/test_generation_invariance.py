@@ -33,6 +33,40 @@ def test_prefix_consistency_across_budgets():
     np.testing.assert_array_equal(short, long[:, :6])
 
 
+def test_chunked_prefill_transcript_invariance():
+    """prefill_chunks (the batch-28/32 memory lever) must be token-exact:
+    any chunking of the prefix produces the identical greedy transcript,
+    for bf16 and int8 KV caches; non-divisor requests fall back to the
+    largest divisor."""
+    from myriad_tpu.generation import _chunk_count, speculative_generate
+
+    model, params = _model()
+    rng = np.random.default_rng(7)
+    embeds = jnp.asarray(rng.normal(size=(2, 12, 64)).astype(np.float32) * 0.2)
+    base = dict(eos_token_id=-1, stop_single=-1, stop_pair=(-1, -1),
+                max_new_tokens=10)
+    for cache_dtype in (jnp.float32, "int8"):
+        ref = np.asarray(greedy_generate(
+            model, params, embeds, config=GenerationConfig(**base),
+            cache_dtype=cache_dtype))
+        for n in (2, 3, 4, 5, 12):
+            got = np.asarray(greedy_generate(
+                model, params, embeds,
+                config=GenerationConfig(prefill_chunks=n, **base),
+                cache_dtype=cache_dtype))
+            np.testing.assert_array_equal(got, ref, err_msg=f"chunks={n}")
+    assert _chunk_count(12, 5) == 4  # largest-divisor fallback
+    # speculative decode with chunked prefill stays transcript-exact too
+    ref = np.asarray(greedy_generate(
+        model, params, embeds, config=GenerationConfig(**base),
+        cache_dtype=jnp.float32))
+    got = np.asarray(speculative_generate(
+        model, params, embeds,
+        config=GenerationConfig(prefill_chunks=3, **base),
+        spec_k=3, cache_dtype=jnp.float32))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_batch_invariance():
     """A row's greedy tokens don't depend on its batch neighbours."""
     model, params = _model()
