@@ -133,8 +133,24 @@ def int8_matmul(
 
     if interpret is None:
         interpret = not on_tpu
+    # tile choice under the scoped-VMEM budget: Mosaic double-buffers every
+    # block across grid steps, so 2*(x (tm,d) bf16 + w (d,tf) int8 +
+    # out (tm,tf) fp32) must stay under ~14 MB of the 16 MB limit — at
+    # d=11008 a (128, d) activation block with tf=512 blew the stack by
+    # 436K (b32 speculative verify, m=B*(K+1)=128)
+    budget = 14 << 20
     tm = 256 if m >= 256 else _round_up(max(m, 1), 16)
-    tf = 512 if f % 512 == 0 else 128
+    cands = [c for c in (512, 256, 128) if f % c == 0] or [128]
+    while True:
+        fit = [c for c in cands
+               if 2 * (tm * d * 2 + d * c + tm * c * 4) <= budget]
+        if fit:
+            tf = fit[0]
+            break
+        if tm <= 16:
+            tf = cands[-1]
+            break
+        tm = max(16, tm // 2)
     m_pad = _round_up(m, tm)
     d_pad = _round_up(d, 128)
     f_pad = _round_up(f, tf)
