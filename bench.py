@@ -87,9 +87,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dry-run", action="store_true", help="tiny profile on CPU")
     p.add_argument("--batch", type=int, default=None,
-                   help="default 32 (eval): the largest profitable batch on "
-                        "one v5e chip at the d32 int8 serving profile with "
-                        "chunked prefill; 8 (train)")
+                   help="default 48 (eval): the throughput peak on one v5e "
+                        "chip at the d32 int8 serving profile with 9-chunk "
+                        "prefill (b44 13.3, b48 13.8, b56 13.1 img/s); "
+                        "8 (train)")
     p.add_argument("--profile", type=str, default=None,
                    choices=["bench", "bench16", "tiny", "full"])
     p.add_argument("--iters", type=int, default=3)
@@ -116,7 +117,7 @@ def main():
     p.add_argument("--mode", type=str, default="eval", choices=["eval", "train"],
                    help="eval: AQA decode step (default); train: stage-2 "
                         "LoRA finetune step samples/sec (BASELINE config 4)")
-    p.add_argument("--prefill-chunks", type=int, default=3, metavar="N",
+    p.add_argument("--prefill-chunks", type=int, default=9, metavar="N",
                    help="split the prefill into N sequential chunks "
                         "(token-exact): per-chunk activation temps shrink "
                         "~N-fold — the batch-28/32 enabler (memprobe "
@@ -175,7 +176,7 @@ def main():
             imagebind=dataclasses.replace(arch.imagebind, weight_dtype="int8"),
         )
     if args.batch is None:
-        args.batch = 8 if args.mode == "train" else 32
+        args.batch = 8 if args.mode == "train" else 48
     b = args.batch if profile != "tiny" else 2
     print(f"[bench] profile={profile} batch={b} device={jax.devices()[0]}",
           file=sys.stderr)
