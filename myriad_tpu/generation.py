@@ -50,12 +50,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _chunk_count(p: int, want: int) -> int:
-    """Largest divisor of p that is <= want (1 if want<=1)."""
+    """Number of sequential prefill steps for a p-token prefix when `want`
+    chunks are requested: chunks are ceil(p/want) tokens wide, so the
+    effective step count is ceil(p / ceil(p/want)) — works for ANY p
+    (no divisibility requirement; a short remainder chunk runs last)."""
     want = max(int(want), 1)
-    for n in range(min(want, p), 0, -1):
-        if p % n == 0:
-            return n
-    return 1
+    if want <= 1 or p <= 1:
+        return 1
+    csz = -(-p // min(want, p))
+    return -(-p // csz)
 
 
 def _prefill(model, params, inputs_embeds, cache, n_chunks: int):
@@ -64,24 +67,41 @@ def _prefill(model, params, inputs_embeds, cache, n_chunks: int):
     Returns (last_position_logits, cache).  Chunking divides the live
     activation temps by ~n_chunks (each scan step reuses one buffer set)
     at the cost of re-streaming the weights once per chunk — decisive for
-    batch 28/32 at 7B scale where prefill temps are the OOM margin.
+    batch 28+ at 7B scale where prefill temps are the OOM margin.
+
+    Any prefix length is supported exactly: the prefix is split into
+    ceil(p/n)-token chunks scanned sequentially, with a trailing
+    remainder chunk (its own prefill call) when p isn't divisible —
+    prefill is causal, so any sequential split is token-exact.
     """
     b, p, d = inputs_embeds.shape
-    n = _chunk_count(p, n_chunks)
-    if n <= 1:
+    n = max(int(n_chunks), 1)
+    if n <= 1 or p <= 1 or _chunk_count(p, n) <= 1:
         logits, cache = model.apply(params, inputs_embeds, cache=cache,
                                     method=LlamaForCausalLM.prefill)
         return logits, cache
-    csz = p // n
-    chunks = inputs_embeds.reshape(b, n, csz, d).transpose(1, 0, 2, 3)
+    csz = -(-p // min(n, p))       # ceil: per-chunk width
+    k, r = divmod(p, csz)          # k full chunks + r-token remainder
 
     def step(cache, chunk):
         logits, cache = model.apply(params, chunk, cache=cache,
                                     method=LlamaForCausalLM.prefill)
         return cache, logits
 
-    cache, logits = jax.lax.scan(step, cache, chunks)
-    return logits[-1], cache
+    if k >= 2:
+        chunks = (inputs_embeds[:, :k * csz]
+                  .reshape(b, k, csz, d).transpose(1, 0, 2, 3))
+        cache, logits = jax.lax.scan(step, cache, chunks)
+        last = logits[-1]
+    else:
+        last, cache = model.apply(params, inputs_embeds[:, :k * csz],
+                                  cache=cache,
+                                  method=LlamaForCausalLM.prefill)
+    if r:
+        last, cache = model.apply(params, inputs_embeds[:, k * csz:],
+                                  cache=cache,
+                                  method=LlamaForCausalLM.prefill)
+    return last, cache
 
 
 def _select_token(logits: jnp.ndarray, cfg: GenerationConfig, rng) -> jnp.ndarray:

@@ -34,10 +34,12 @@ def test_prefix_consistency_across_budgets():
 
 
 def test_chunked_prefill_transcript_invariance():
-    """prefill_chunks (the batch-28/32 memory lever) must be token-exact:
+    """prefill_chunks (the batch-28+ memory lever) must be token-exact:
     any chunking of the prefix produces the identical greedy transcript,
-    for bf16 and int8 KV caches; non-divisor requests fall back to the
-    largest divisor."""
+    for bf16 and int8 KV caches, for ANY prefix length — non-divisible
+    lengths run ceil-sized chunks with a trailing remainder chunk (a real
+    prompt's token count is arbitrary; a divisor fallback would silently
+    restore single-shot prefill and OOM at the serving batch)."""
     from myriad_tpu.generation import _chunk_count, speculative_generate
 
     model, params = _model()
@@ -55,7 +57,22 @@ def test_chunked_prefill_transcript_invariance():
                 config=GenerationConfig(prefill_chunks=n, **base),
                 cache_dtype=cache_dtype))
             np.testing.assert_array_equal(got, ref, err_msg=f"chunks={n}")
-    assert _chunk_count(12, 5) == 4  # largest-divisor fallback
+    assert _chunk_count(12, 5) == 4   # ceil(12 / ceil(12/5)=3)
+    assert _chunk_count(298, 9) == 9  # 2·149: divisor fallback would give 2
+    assert _chunk_count(313, 9) == 9  # prime: divisor fallback would give 1
+    # prime prefix length: every requested chunk count stays token-exact
+    embeds13 = jnp.asarray(rng.normal(size=(2, 13, 64)).astype(np.float32) * 0.2)
+    for cache_dtype in (jnp.float32, "int8"):
+        ref13 = np.asarray(greedy_generate(
+            model, params, embeds13, config=GenerationConfig(**base),
+            cache_dtype=cache_dtype))
+        for n in (2, 5, 9, 13):
+            got13 = np.asarray(greedy_generate(
+                model, params, embeds13,
+                config=GenerationConfig(prefill_chunks=n, **base),
+                cache_dtype=cache_dtype))
+            np.testing.assert_array_equal(got13, ref13,
+                                          err_msg=f"p=13 chunks={n}")
     # speculative decode with chunked prefill stays transcript-exact too
     ref = np.asarray(greedy_generate(
         model, params, embeds, config=GenerationConfig(**base),
