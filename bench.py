@@ -125,6 +125,14 @@ def main():
                         "1 restores single-shot prefill")
     p.add_argument("--breakdown", action="store_true",
                    help="additionally time VE-maps / prefill / decode phases")
+    p.add_argument("--decode-attn", type=str, default=None,
+                   choices=["auto", "xla", "row", "bh"],
+                   help="decode-attention dispatch override (MYRIAD_DECODE_ATTN): "
+                        "row = the batched-heads row-grid Pallas kernel, "
+                        "xla = the fused XLA path, auto = measured default")
+    p.add_argument("--dump-tokens", type=str, default=None, metavar="PATH",
+                   help="np.save the generated token ids (cross-run "
+                        "bit-identity checks between dispatch variants)")
     p.add_argument("--spec", type=int, default=0, metavar="K",
                    help="speculative decoding: verify K n-gram-drafted "
                         "tokens per weight pass (transcript-exact; 0=off)")
@@ -139,6 +147,11 @@ def main():
                         "oracle bound (transcripts stay exact by "
                         "construction)")
     args = p.parse_args()
+
+    if args.decode_attn:
+        import os
+
+        os.environ["MYRIAD_DECODE_ATTN"] = args.decode_attn
 
     import jax
 
@@ -300,6 +313,9 @@ def main():
     med = float(np.median(times))
     images_per_sec = b / med
     p50_latency = med / b
+    if args.dump_tokens:
+        np.save(args.dump_tokens, np.asarray(tokens))
+        print(f"[bench] tokens -> {args.dump_tokens}", file=sys.stderr)
 
     if args.breakdown:
         jx = __import__("jax")

@@ -43,6 +43,12 @@ class GenerationConfig:
     # Token-exact for any N (positions/causality are index-based).  Values
     # that don't divide the prefix fall back to the largest divisor.
     prefill_chunks: int = 1
+    # KV-bucket rounding.  32 (default) keeps the bucket tile-aligned for
+    # the row-grid decode-attention kernel (ops/decode_attention.py
+    # rows_supported) so it never pad-copies the cache; the int8 cache
+    # payload tiles pad T to 32-multiples anyway, so the only cost vs 16
+    # is ≤16 masked positions of KV streaming per step.
+    cache_granularity: int = 32
 
 
 def _round_up(x: int, m: int) -> int:
@@ -138,7 +144,7 @@ def greedy_generate(
     cfg = config or GenerationConfig()
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     b, p, _ = inputs_embeds.shape
-    max_len = _round_up(p + cfg.max_new_tokens, 16)
+    max_len = _round_up(p + cfg.max_new_tokens, cfg.cache_granularity)
     cache = init_cache(model.config, b, max_len, cache_dtype)
 
     # --- prefill (last-position logits only) ------------------------------
@@ -215,7 +221,7 @@ def speculative_generate(
     assert K >= 1
     b, p, _ = inputs_embeds.shape
     max_new = cfg.max_new_tokens
-    max_len = _round_up(p + max_new + K + 1, 16)
+    max_len = _round_up(p + max_new + K + 1, cfg.cache_granularity)
     cache = init_cache(model.config, b, max_len, cache_dtype)
 
     # --- prefill (scalar write index, rows aligned) -----------------------

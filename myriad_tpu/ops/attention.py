@@ -62,6 +62,27 @@ def mha(
 
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     tq = q.shape[2]
+    mode = os.environ.get("MYRIAD_DECODE_ATTN", "auto")
+    if tq == 1 and mode == "row":
+        from myriad_tpu.ops.decode_attention import (decode_attention_rows,
+                                                     rows_supported)
+
+        b, h, _, d = q.shape
+        # row-grid kernel (one batch row per program, all heads resident):
+        # measured SLOWER than XLA's fused matvec at the d32/b24 serving
+        # point (10.70 vs 11.68 img/s, decode+rest 1.99 vs 1.80 s) — grid
+        # programs run sequentially on the one TensorCore, so the 32
+        # per-head M=1 dots serialize (~0.5 us each x 768 (b,h) pairs/layer)
+        # while XLA lowers the batched matvec as fused VPU
+        # multiply-reduce over the whole (B,H,T,D) block.  Kept as an
+        # explicitly-forced variant (transcript-exact: bit-identical greedy
+        # tokens at d32/b24 on device) for re-measurement on runtime
+        # updates; NOT part of auto dispatch.
+        if rows_supported(b, h, k.shape[2], d):
+            return decode_attention_rows(
+                q, k, v, mask=mask, scale=scale,
+                k_scale=k_scale, v_scale=v_scale,
+            )
     if use_pallas is None:
         # measured on v5e: at short KV (<=384, the AQA regime) XLA's fused
         # attention pipelines the batched heads better than the per-(b,h)

@@ -55,6 +55,177 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _decode_rows_kernel(q_ref, k_ref, v_ref, m_ref, ks_ref, vs_ref, o_ref,
+                        *, scale: float, num_heads: int):
+    """One batch row per grid step, ALL heads resident.
+
+    The per-(b,h) grid below issues a ~50 KB K DMA per program — 1536
+    programs at batch 48 — and measured ~260 GB/s effective on the KV
+    bytes (the XLA fused path does no better; decode-step batch slope,
+    BENCH_NOTES r3b).  Streaming the whole (H, T, D) row per program
+    turns that into two ~1.7 MB contiguous DMAs, which the Mosaic
+    double-buffered pipeline sustains at near-spec bandwidth.  Heads are
+    a static Python loop: each iteration is VMEM-resident compute (two
+    tiny dots + one softmax), so the kernel stays DMA-bound.
+
+    Block shapes: q (1,H,1,D), k/v (1,H,T,D) bf16|int8, m (1,1,1,T) fp32,
+    optional int8-KV dequant scales ks/vs (1,H,1,T) fp32, o (1,H,1,D).
+    """
+    m = m_ref[0, 0].astype(jnp.float32)  # (1, T)
+    for h in range(num_heads):  # static unroll: h indexes untiled dims
+        q = q_ref[0, h].astype(jnp.float32)  # (1, D)
+        k = k_ref[0, h].astype(jnp.float32)  # (T, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (1, T)
+        if ks_ref is not None:
+            s = s * ks_ref[0, h].astype(jnp.float32)
+        s = s * scale + m
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        if vs_ref is not None:
+            p = p * vs_ref[0, h].astype(jnp.float32)
+        out = jax.lax.dot_general(
+            p, v_ref[0, h].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, D)
+        o_ref[0, h] = (out / denom).astype(o_ref.dtype)
+
+
+def _rows_local_call(q, k, v, mask, k_scale, v_scale, scale: float,
+                     interpret: bool):
+    b, h, _, d = q.shape
+    t = k.shape[2]
+    quant = k_scale is not None
+    kernel = functools.partial(_decode_rows_kernel, scale=scale, num_heads=h)
+    if not quant:
+        kernel = (lambda qr, kr, vr, mr, orf, *, _k=kernel:
+                  _k(qr, kr, vr, mr, None, None, orf))
+    in_specs = [
+        pl.BlockSpec((1, h, 1, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, t, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, t, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, t), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v, mask]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, h, 1, t), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 1, t), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale, v_scale]
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, 1, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.lru_cache(maxsize=None)
+def _rows_partitioned(quant: bool, scale: float, interpret: bool):
+    """GSPMD wrapper: the kernel is independent per (batch row, head) — the
+    head loop inside each program runs over the shard-LOCAL head count — so
+    under a (dp, tp) mesh every shard runs the kernel on its own
+    (B_loc, H_loc) block (same pattern as ops/prefill_attention.py)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if quant:
+        def fn(q, k, v, mask, ks, vs):
+            return _rows_local_call(q, k, v, mask, ks, vs, scale, interpret)
+    else:
+        def fn(q, k, v, mask):
+            return _rows_local_call(q, k, v, mask, None, None, scale, interpret)
+
+    f = custom_partitioning(fn)
+
+    def _specs(mesh, q_sharding):
+        qs = q_sharding.spec if q_sharding is not None else P()
+        b_ax = qs[0] if len(qs) > 0 else None
+        h_ax = qs[1] if len(qs) > 1 else None
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        arg = [
+            mk(b_ax, h_ax, None, None),  # q
+            mk(b_ax, h_ax, None, None),  # k
+            mk(b_ax, h_ax, None, None),  # v
+            mk(b_ax, None, None, None),  # mask (B, 1, 1, T)
+        ]
+        if quant:
+            arg += [mk(b_ax, h_ax, None, None)] * 2  # (B, H, 1, T) scales
+        return arg, mk(b_ax, h_ax, None, None)
+
+    def infer(mesh, arg_infos, result_shape):
+        _, out = _specs(mesh, getattr(arg_infos[0], "sharding", None))
+        return out
+
+    def partition(mesh, arg_infos, result_shape):
+        args, out = _specs(mesh, getattr(arg_infos[0], "sharding", None))
+        return mesh, fn, out, tuple(args)
+
+    rule = (
+        "b h q e, b h s e, b h s e, b i q s, b h q s, b h q s -> b h q e"
+        if quant else
+        "b h q e, b h s e, b h s e, b i q s -> b h q e"
+    )
+    f.def_partition(infer_sharding_from_operands=infer, partition=partition,
+                    sharding_rule=rule)
+    return jax.jit(f)
+
+
+def _decode_rows_padded(q, k, v, mask, k_scale, v_scale, scale: float,
+                        interpret: bool):
+    f = _rows_partitioned(k_scale is not None, float(scale), bool(interpret))
+    if k_scale is not None:
+        return f(q, k, v, mask, k_scale, v_scale)
+    return f(q, k, v, mask)
+
+
+def rows_supported(b: int, h: int, t: int, d: int) -> bool:
+    """Row-grid eligibility: T/D tile-aligned so NO pad copy of the cache is
+    ever made (generation allocates 32-granular buckets), and the (H, T, D)
+    K+V blocks fit double-buffered VMEM."""
+    if t % 32 != 0 or d % 128 != 0:
+        return False
+    block_bytes = 2 * h * t * d  # K + V at int8 width (bf16 would be 2x)
+    return 2 * block_bytes <= 12 << 20
+
+
+def decode_attention_rows(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Row-grid decode attention: q (B, H, 1, D); k/v (B, H, T, D) with T a
+    multiple of 32 and D of 128 (see rows_supported) -> (B, H, 1, D)."""
+    b, h, tq, d = q.shape
+    assert tq == 1, "decode kernel handles a single query step"
+    t = k.shape[2]
+    assert rows_supported(b, h, t, d), (b, h, t, d)
+    scale = scale if scale is not None else d**-0.5
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if mask is None:
+        mask = jnp.zeros((b, 1, 1, t), jnp.float32)
+    # per-b mask block: collapse any broadcast head dim, keep fp32
+    mask = jnp.broadcast_to(mask.astype(jnp.float32), (b, mask.shape[1], 1, t))
+    mask = mask[:, :1]
+    ks = None if k_scale is None else jnp.swapaxes(k_scale, -1, -2).astype(jnp.float32)
+    vs = None if v_scale is None else jnp.swapaxes(v_scale, -1, -2).astype(jnp.float32)
+    return _decode_rows_padded(q, k, v, mask, ks, vs, float(scale),
+                               bool(interpret))
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _decode_attention_padded(q, k, v, mask, k_scale, v_scale, scale: float,
                              interpret: bool):

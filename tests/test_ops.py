@@ -51,6 +51,100 @@ def test_decode_attention_int8_kv(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_decode_rows_matches_xla(rng):
+    """Row-grid kernel (all heads per program) == XLA, bf16-style fp32 KV."""
+    from myriad_tpu.ops.decode_attention import decode_attention_rows
+
+    b, h, t, d = 3, 4, 96, 128  # t 32-aligned, d 128-aligned (no-pad contract)
+    q = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    mask = jnp.where(
+        jnp.arange(t)[None, None, None, :] < 70, 0.0, -1e9
+    ).astype(jnp.float32) * jnp.ones((b, 1, 1, t))
+    ref = _xla_mha(q, k, v, mask, d**-0.5)
+    out = decode_attention_rows(q, k, v, mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_decode_rows_int8_kv(rng):
+    """Row-grid kernel with int8 KV + folded per-position scales == XLA."""
+    from myriad_tpu.models.llama import quantize_kv
+    from myriad_tpu.ops.decode_attention import decode_attention_rows
+
+    b, h, t, d = 2, 3, 64, 128
+    q = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    k8, ks = quantize_kv(kf)
+    v8, vs = quantize_kv(vf)
+    mask = jnp.where(
+        jnp.arange(t)[None, None, None, :] < 41, 0.0, -1e9
+    ).astype(jnp.float32) * jnp.ones((b, 1, 1, t))
+    ref = _xla_mha(q, k8, v8, mask, d**-0.5, ks, vs)
+    out = decode_attention_rows(q, k8, v8, mask=mask, interpret=True,
+                                k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_rows_supported_gate():
+    from myriad_tpu.ops.decode_attention import rows_supported
+
+    assert rows_supported(48, 32, 416, 128)        # the b48 serving shape
+    assert not rows_supported(48, 32, 400, 128)    # unaligned bucket
+    assert not rows_supported(48, 32, 416, 64)     # unaligned head dim
+    assert not rows_supported(1, 32, 4096, 128)    # K+V blocks exceed VMEM
+
+
+def test_mha_decode_attn_row_env_routes(rng, monkeypatch):
+    """MYRIAD_DECODE_ATTN=row routes an aligned decode step through the
+    row-grid kernel (interpret on CPU) and matches the XLA path."""
+    from myriad_tpu.models.llama import quantize_kv
+
+    monkeypatch.setenv("MYRIAD_DECODE_ATTN", "row")
+    b, h, t, d = 2, 2, 64, 128
+    q = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    k8, ks = quantize_kv(kf)
+    v8, vs = quantize_kv(vf)
+    ref = _xla_mha(q, k8, v8, None, d**-0.5, ks, vs)
+    out = mha(q, k8, v8, k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_decode_rows_sharded_matches_unsharded(rng):
+    """custom_partitioning: under a ('data','model') mesh with heads
+    sharded the row kernel runs per-shard on its (B_loc, H_loc) block
+    (head loop = local head count) and matches the unsharded result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from myriad_tpu.models.llama import quantize_kv
+    from myriad_tpu.ops.decode_attention import decode_attention_rows
+    from myriad_tpu.parallel.mesh import make_mesh
+
+    b, h, t, d = 4, 4, 64, 128
+    q = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    k8, ks = quantize_kv(kf)
+    v8, vs = quantize_kv(vf)
+    mask = jnp.where(
+        jnp.arange(t)[None, None, None, :] < 50, 0.0, -1e9
+    ).astype(jnp.float32) * jnp.ones((b, 1, 1, t))
+    ref = np.asarray(decode_attention_rows(q, k8, v8, mask=mask,
+                                           k_scale=ks, v_scale=vs))
+
+    mesh = make_mesh(n_model=2)
+    sh4 = NamedSharding(mesh, P("data", "model", None, None))
+    out = np.asarray(decode_attention_rows(
+        jax.device_put(q, sh4), jax.device_put(k8, sh4),
+        jax.device_put(v8, sh4),
+        mask=jax.device_put(mask, NamedSharding(mesh, P("data", None, None, None))),
+        k_scale=jax.device_put(ks, sh4), v_scale=jax.device_put(vs, sh4)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_mha_forced_pallas_routes_int8_kv(rng, monkeypatch):
     """MYRIAD_FORCE_PALLAS routes a quantized-KV decode step through the
     kernel (interpret on CPU) and matches the XLA scale-folded path."""
