@@ -125,6 +125,13 @@ def main():
                         "1 restores single-shot prefill")
     p.add_argument("--breakdown", action="store_true",
                    help="additionally time VE-maps / prefill / decode phases")
+    p.add_argument("--staged-decode", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="decode in KV-growth stages: each span attends only "
+                        "over the valid cache prefix (token-exact, "
+                        "bit-identical on device; cuts decode KV streaming "
+                        "by the invalid bucket tail — measured 14.06 vs "
+                        "13.46 img/s at b48; --no-staged-decode disables)")
     p.add_argument("--decode-attn", type=str, default=None,
                    choices=["auto", "xla", "row", "bh"],
                    help="decode-attention dispatch override (MYRIAD_DECODE_ATTN): "
@@ -227,6 +234,7 @@ def main():
     gen_cfg = GenerationConfig(
         max_new_tokens=DECODE_TOKENS, eos_token_id=-1, stop_single=-1,
         stop_pair=(-1, -1), prefill_chunks=args.prefill_chunks,
+        staged_decode=args.staged_decode,
     )  # stops disabled: measure the full 90-token budget deterministically
 
     params = model.params

@@ -49,6 +49,15 @@ class GenerationConfig:
     # payload tiles pad T to 32-multiples anyway, so the only cost vs 16
     # is ≤16 masked positions of KV streaming per step.
     cache_granularity: int = 32
+    # Staged decode: run the decode loop as a few sequential while_loops,
+    # each attending only over the statically-sliced valid cache prefix
+    # (rounded up to cache_granularity) instead of the full bucket.  Every
+    # sliced-off position is mask-excluded anyway (the write frontier stays
+    # below each stage's limit by construction), so tokens are unchanged;
+    # decode-step KV streaming shrinks by the invalid tail (~14% of KV
+    # bytes at the b48 serving point, where decode sits at ~88% of the
+    # measured HBM ceiling — BENCH_NOTES r3b).  Greedy-path only.
+    staged_decode: bool = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -153,29 +162,51 @@ def greedy_generate(
     last = _select_token(logits[:, -1].astype(jnp.float32), cfg, rng)
 
     # --- decode loop ------------------------------------------------------
-    def cond(state):
-        step, _, _, done, _, _, _ = state
-        return jnp.logical_and(step < cfg.max_new_tokens - 1, ~jnp.all(done))
+    # loop step s writes the cache at position p+s and attends over
+    # positions <= p+s, so it needs kv coverage of exactly p+s+1 slots;
+    # staged decode partitions the steps at cache_granularity boundaries
+    # and runs each span with a static kv_limit (llama.py slices the cache
+    # reads; every excluded position is mask-dead, tokens unchanged).
+    def make_body(kv_limit):
+        def body(state):
+            step, last, prev, done, cache, tokens, rng = state
+            tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
+            embeds = model.apply(params, last[:, None], method=LlamaForCausalLM.embed)
+            logits, cache = model.apply(params, embeds, cache=cache,
+                                        kv_limit=kv_limit)
+            rng, sub = jax.random.split(rng)
+            nxt = _select_token(logits[:, -1].astype(jnp.float32), cfg, sub)
+            stopped = (
+                (nxt == cfg.eos_token_id)
+                | (nxt == cfg.stop_single)
+                | ((last == cfg.stop_pair[0]) & (nxt == cfg.stop_pair[1]))
+            )
+            done = done | stopped
+            return step + 1, nxt, last, done, cache, tokens, rng
 
-    def body(state):
-        step, last, prev, done, cache, tokens, rng = state
-        tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
-        embeds = model.apply(params, last[:, None], method=LlamaForCausalLM.embed)
-        logits, cache = model.apply(params, embeds, cache=cache)
-        rng, sub = jax.random.split(rng)
-        nxt = _select_token(logits[:, -1].astype(jnp.float32), cfg, sub)
-        stopped = (
-            (nxt == cfg.eos_token_id)
-            | (nxt == cfg.stop_single)
-            | ((last == cfg.stop_pair[0]) & (nxt == cfg.stop_pair[1]))
-        )
-        done = done | stopped
-        return step + 1, nxt, last, done, cache, tokens, rng
+        return body
+
+    def make_cond(stage_end):
+        def cond(state):
+            step, _, _, done, _, _, _ = state
+            return jnp.logical_and(step < stage_end, ~jnp.all(done))
+
+        return cond
+
+    if cfg.staged_decode:
+        g = cfg.cache_granularity
+        limits = list(range(_round_up(p + 2, g), max_len + 1, g)) or [max_len]
+        limits[-1] = max_len
+    else:
+        limits = [max_len]
 
     tokens = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
     done0 = (last == cfg.eos_token_id) | (last == cfg.stop_single)
     state = (jnp.int32(0), last, jnp.full((b,), -1, jnp.int32), done0, cache, tokens, rng)
-    step, last, prev, done, cache, tokens, rng = jax.lax.while_loop(cond, body, state)
+    for lim in limits:
+        stage_end = min(lim - p, cfg.max_new_tokens - 1)
+        state = jax.lax.while_loop(make_cond(stage_end), make_body(lim), state)
+    step, last, prev, done, cache, tokens, rng = state
     tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
     return tokens
 

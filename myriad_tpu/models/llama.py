@@ -224,6 +224,7 @@ class LlamaAttention(nn.Module):
         cache: Optional[Cache] = None,
         deterministic: bool = True,
         positional_only: bool = False,
+        kv_limit: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, Optional[Cache]]:
         cfg = self.config
         b, t, _ = hidden.shape
@@ -303,6 +304,20 @@ class LlamaAttention(nn.Module):
         else:
             k_all, v_all = k, v
 
+        if cache is not None and kv_limit is not None and kv_limit < cache["k"].shape[2]:
+            # staged decode (generation.GenerationConfig.staged_decode): every
+            # position >= the stage's static kv_limit is masked anyway (the
+            # write frontier is < kv_limit by stage construction), so attention
+            # reads only the leading kv_limit slice of the cache — XLA fuses
+            # the prefix slice into the dots, cutting decode-step KV streaming
+            # by the invalid tail instead of streaming the full bucket.  The
+            # cache CARRY stays full-size (new_cache above is unsliced).
+            k_all = k_all[:, :, :kv_limit]
+            v_all = v_all[:, :, :kv_limit]
+            if k_sc is not None:
+                k_sc = k_sc[:, :, :kv_limit]
+                v_sc = v_sc[:, :, :kv_limit]
+
         if hk != h:
             rep = h // hk
             k_all = jnp.repeat(k_all, rep, axis=1)
@@ -365,11 +380,11 @@ class LlamaLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, positions, mask, cache=None, deterministic=True,
-                 positional_only=False):
+                 positional_only=False, kv_limit=None):
         cfg = self.config
         h, new_cache = LlamaAttention(cfg, self.dtype, self.param_dtype, name="self_attn")(
             RMSNorm(cfg.rms_norm_eps, self.param_dtype, name="input_layernorm")(hidden),
-            positions, mask, cache, deterministic, positional_only,
+            positions, mask, cache, deterministic, positional_only, kv_limit,
         )
         hidden = hidden + h
         h = LlamaMlp(cfg, self.dtype, self.param_dtype, name="mlp")(
@@ -392,7 +407,7 @@ class LlamaModel(nn.Module):
             param_dtype=self.param_dtype, name="embed_tokens",
         )
         layer_cls = (
-            nn.remat(LlamaLayer, static_argnums=(5, 6)) if cfg.remat else LlamaLayer
+            nn.remat(LlamaLayer, static_argnums=(5, 6, 7)) if cfg.remat else LlamaLayer
         )
         self.layers = [
             layer_cls(cfg, self.dtype, self.param_dtype, name=f"layers_{i}")
@@ -410,14 +425,21 @@ class LlamaModel(nn.Module):
         positions: Optional[jnp.ndarray] = None,
         cache: Optional[Tuple[Cache, ...]] = None,
         deterministic: bool = True,
+        kv_limit: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, Optional[Tuple[Cache, ...]]]:
         """attention_mask: (B, T_kv) 1/0 over key positions (incl. cache).
+
+        ``kv_limit`` (static int): attend only over cache positions
+        < kv_limit — exact whenever the write frontier stays below it
+        (staged decode streams the valid cache prefix, not the bucket).
 
         Returns final hidden states (B, T, D) and updated caches.
         """
         b, t, _ = inputs_embeds.shape
         if cache is not None:
             kv_len = cache[0]["k"].shape[2]
+            if kv_limit is not None:
+                kv_len = min(kv_len, int(kv_limit))
             start = cache[0]["index"]
         else:
             kv_len = t
@@ -448,7 +470,7 @@ class LlamaModel(nn.Module):
         for i, layer in enumerate(self.layers):
             layer_cache = cache[i] if cache is not None else None
             hidden, nc = layer(hidden, positions, mask, layer_cache, deterministic,
-                               positional_only)
+                               positional_only, kv_limit)
             if new_caches is not None:
                 new_caches.append(nc)
         hidden = self.norm(hidden)
@@ -501,11 +523,12 @@ class LlamaForCausalLM(nn.Module):
         cache: Optional[Tuple[Cache, ...]] = None,
         deterministic: bool = True,
         input_ids: Optional[jnp.ndarray] = None,
+        kv_limit: Optional[int] = None,
     ):
         if inputs_embeds is None:
             inputs_embeds = self.embed(input_ids)
         hidden, new_cache = self.model(
-            inputs_embeds, attention_mask, positions, cache, deterministic
+            inputs_embeds, attention_mask, positions, cache, deterministic, kv_limit
         )
         return self.logits(hidden), new_cache
 

@@ -296,6 +296,7 @@ class Myriad(BaseModel):
         spec_k: int = 0,
         bos_at_generate: bool = False,
         prefill_chunks: int = 1,
+        staged_decode: bool = False,
     ):
         self.arch = arch or MyriadArch.full()
         if use_lora:
@@ -325,6 +326,9 @@ class Myriad(BaseModel):
         # chunked prefill (token-exact, generation._prefill): the batch-32
         # memory lever; 1 = single-shot
         self.prefill_chunks = int(prefill_chunks)
+        # staged decode (token-exact, generation.GenerationConfig
+        # .staged_decode): stream only the valid KV prefix per decode span
+        self.staged_decode = bool(staged_decode)
         policy = policy or Policy.bf16()
         self.policy = policy
 
@@ -692,6 +696,8 @@ class Myriad(BaseModel):
             stop_pair=tuple(generate_kwargs.get("stop_pair", defaults.stop_pair)),
             prefill_chunks=generate_kwargs.get("prefill_chunks",
                                                self.prefill_chunks),
+            staged_decode=generate_kwargs.get("staged_decode",
+                                              self.staged_decode),
         )
         if gen_cfg.do_sample and gen_cfg.top_p <= 0.01:
             # the reference's shipped kwargs are do_sample=True top_p=0.01
@@ -1052,6 +1058,9 @@ class Myriad(BaseModel):
             # chunked prefill (token-exact): set 3 to serve batch 28-32 on
             # one chip (generation.GenerationConfig.prefill_chunks)
             prefill_chunks=cfg.get("llm_prefill_chunks", 1),
+            # staged decode (token-exact): stream only the valid KV prefix
+            # per decode span (generation.GenerationConfig.staged_decode)
+            staged_decode=cfg.get("llm_staged_decode", False),
         )
 
         # pretrained tower bootstrap: `weights: {vit, qformer, llama,

@@ -84,6 +84,59 @@ def test_chunked_prefill_transcript_invariance():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_staged_decode_transcript_invariance():
+    """staged_decode (the decode KV-streaming lever) must be token-exact:
+    partitioning the decode loop into per-granularity KV-limit stages
+    attends over exactly the same unmasked positions, so transcripts match
+    the single-loop path for bf16 and int8 caches — including when rows
+    stop mid-stage (done must propagate across stage boundaries)."""
+    model, params = _model()
+    rng = np.random.default_rng(11)
+    embeds = jnp.asarray(rng.normal(size=(3, 7, 64)).astype(np.float32) * 0.2)
+    base = dict(eos_token_id=-1, stop_single=-1, stop_pair=(-1, -1),
+                max_new_tokens=14)
+    for cache_dtype in (jnp.float32, "int8"):
+        for g in (4, 8, 32):  # 32 -> a single stage (bucket-sized)
+            ref = np.asarray(greedy_generate(
+                model, params, embeds,
+                config=GenerationConfig(cache_granularity=g, **base),
+                cache_dtype=cache_dtype))
+            got = np.asarray(greedy_generate(
+                model, params, embeds,
+                config=GenerationConfig(cache_granularity=g,
+                                        staged_decode=True, **base),
+                cache_dtype=cache_dtype))
+            np.testing.assert_array_equal(got, ref,
+                                          err_msg=f"{cache_dtype} g={g}")
+    # force a mid-generation stop: use a token the reference transcript
+    # emits as the stop id, so some rows finish inside an early stage
+    ref = np.asarray(greedy_generate(
+        model, params, embeds,
+        config=GenerationConfig(cache_granularity=4, **base),
+        cache_dtype=jnp.float32))
+    stop = int(ref[0, 5])
+    cfg_stop = dict(base, stop_single=stop)
+    a = np.asarray(greedy_generate(
+        model, params, embeds,
+        config=GenerationConfig(cache_granularity=4, **cfg_stop),
+        cache_dtype=jnp.float32))
+    s = np.asarray(greedy_generate(
+        model, params, embeds,
+        config=GenerationConfig(cache_granularity=4, staged_decode=True,
+                                **cfg_stop),
+        cache_dtype=jnp.float32))
+    np.testing.assert_array_equal(s, a)
+    # chunked prefill + staged decode compose token-exactly
+    ref = np.asarray(greedy_generate(
+        model, params, embeds, config=GenerationConfig(**base),
+        cache_dtype="int8"))
+    got = np.asarray(greedy_generate(
+        model, params, embeds,
+        config=GenerationConfig(prefill_chunks=3, staged_decode=True, **base),
+        cache_dtype="int8"))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_batch_invariance():
     """A row's greedy tokens don't depend on its batch neighbours."""
     model, params = _model()
