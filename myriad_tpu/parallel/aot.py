@@ -77,10 +77,14 @@ def _sharded_struct(params_struct, mesh, rules):
 
 def compile_full_serving(mesh=None, batch: int = 8, max_new_tokens: int = 90,
                          prompt_before: int = 8, prompt_after: int = 180,
-                         arch=None):
+                         arch=None, prefill_chunks: int = 1,
+                         staged_decode: bool = False,
+                         cache_granularity: int = 32):
     """AOT-compile the d32 int8+int8KV serving program (prefill_embeds +
     90-token greedy decode) with production GSPMD rules.  Returns the
-    jax Compiled object (its existence IS the proof)."""
+    jax Compiled object (its existence IS the proof).  ``prefill_chunks``/
+    ``staged_decode`` prove the chunked-prefill scan and the sliced-cache
+    staged-decode spans also lower under the SPMD partitioner."""
     from myriad_tpu.generation import GenerationConfig, greedy_generate
     from myriad_tpu.models.llama import LlamaForCausalLM
     from myriad_tpu.models.myriad import MyriadModule
@@ -103,7 +107,10 @@ def compile_full_serving(mesh=None, batch: int = 8, max_new_tokens: int = 90,
 
     llama = LlamaForCausalLM(a.llama, jnp.bfloat16, jnp.bfloat16)
     gen_cfg = GenerationConfig(max_new_tokens=max_new_tokens, eos_token_id=-1,
-                               stop_single=-1, stop_pair=(-1, -1))
+                               stop_single=-1, stop_pair=(-1, -1),
+                               prefill_chunks=prefill_chunks,
+                               staged_decode=staged_decode,
+                               cache_granularity=cache_granularity)
 
     def serve(params, image, maps, before, after):
         embeds = module.apply(

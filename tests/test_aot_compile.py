@@ -35,6 +35,12 @@ def test_aot_serving_compiles_tiny(mesh):
     )
     # the compiled executable exists and reports per-device shards
     assert compiled is not None
+    # the shipping levers (chunked prefill scan + staged sliced-cache
+    # decode) must also lower under the SPMD partitioner
+    assert aot.compile_full_serving(
+        mesh, batch=8, max_new_tokens=4, prompt_before=3, prompt_after=4,
+        arch=arch, prefill_chunks=3, staged_decode=True, cache_granularity=4,
+    ) is not None
 
 
 def test_aot_train_compiles_tiny(mesh):
