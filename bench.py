@@ -131,7 +131,8 @@ def main():
                         "over the valid cache prefix (token-exact, "
                         "bit-identical on device; cuts decode KV streaming "
                         "by the invalid bucket tail — measured 14.06 vs "
-                        "13.46 img/s at b48; --no-staged-decode disables)")
+                        "13.46 img/s at b48; also stages speculative verify "
+                        "rounds; --no-staged-decode disables)")
     p.add_argument("--decode-attn", type=str, default=None,
                    choices=["auto", "xla", "row", "bh"],
                    help="decode-attention dispatch override (MYRIAD_DECODE_ATTN): "

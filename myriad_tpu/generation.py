@@ -56,7 +56,9 @@ class GenerationConfig:
     # below each stage's limit by construction), so tokens are unchanged;
     # decode-step KV streaming shrinks by the invalid tail (~14% of KV
     # bytes at the b48 serving point, where decode sits at ~88% of the
-    # measured HBM ceiling — BENCH_NOTES r3b).  Greedy-path only.
+    # measured HBM ceiling — BENCH_NOTES r3b).  Applies to both the greedy
+    # loop and speculative verify rounds (round r touches positions
+    # < p + r*(K+1), so span `lim` safely runs (lim-p)//(K+1) rounds).
     staged_decode: bool = False
 
 
@@ -316,70 +318,99 @@ def speculative_generate(
                        0, L - 1)
         return jnp.take_along_axis(corpus, idx, axis=1)
 
-    def cond(st):
-        return ~jnp.all(st["done"])
+    def make_cond(max_rounds):
+        def cond(st):
+            live = ~jnp.all(st["done"])
+            if max_rounds is None:
+                return live
+            return jnp.logical_and(live, st["rounds"] < max_rounds)
 
-    def body(st):
-        # drafts are only PROPOSALS; clamp into the vocab so an
-        # out-of-range id (user-supplied oracle, corrupted corpus) can't
-        # produce NaN embeddings (jnp.take fills OOB gathers) that poison
-        # the verify pass
-        draft = jnp.clip(draft_tokens(st), 0, model.config.vocab_size - 1)
-        feed = jnp.concatenate([st["last"][:, None], draft], axis=1)  # (B, K+1)
-        positions = st["length"][:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
-        embeds = model.apply(params, feed, method=LlamaForCausalLM.embed)
-        logits, cache = model.apply(
-            params, embeds, positions=positions, cache=st["cache"]
-        )
-        g = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)  # (B, K+1)
-        chain = jnp.concatenate([st["last"][:, None], g], axis=1)  # (B, K+2)
-        # accepted = leading drafts that match the model's own greedy tokens
-        match = feed[:, 1:] == g[:, :-1]  # (B, K)
-        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # (B,)
+        return cond
 
-        # emit chain[0..a] with greedy_generate's exact stop semantics
-        window = jnp.full((b, K + 1), cfg.pad_token_id, jnp.int32)
-
-        def emit(j, carry):
-            window, done_j, n_new = carry
-            c_j = chain[:, j]
-            c_n = chain[:, j + 1]
-            valid = (j <= a) & ~done_j
-            window = window.at[:, j].set(jnp.where(valid, c_j, cfg.pad_token_id))
-            stopped = (
-                (c_n == cfg.eos_token_id)
-                | (c_n == cfg.stop_single)
-                | ((c_j == cfg.stop_pair[0]) & (c_n == cfg.stop_pair[1]))
+    def make_body(kv_limit):
+        def body(st):
+            # drafts are only PROPOSALS; clamp into the vocab so an
+            # out-of-range id (user-supplied oracle, corrupted corpus) can't
+            # produce NaN embeddings (jnp.take fills OOB gathers) that poison
+            # the verify pass
+            draft = jnp.clip(draft_tokens(st), 0, model.config.vocab_size - 1)
+            feed = jnp.concatenate([st["last"][:, None], draft], axis=1)  # (B, K+1)
+            positions = st["length"][:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+            embeds = model.apply(params, feed, method=LlamaForCausalLM.embed)
+            logits, cache = model.apply(
+                params, embeds, positions=positions, cache=st["cache"],
+                kv_limit=kv_limit,
             )
-            return window, done_j | (valid & stopped), n_new + valid.astype(jnp.int32)
+            g = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)  # (B, K+1)
+            chain = jnp.concatenate([st["last"][:, None], g], axis=1)  # (B, K+2)
+            # accepted = leading drafts that match the model's own greedy tokens
+            match = feed[:, 1:] == g[:, :-1]  # (B, K)
+            a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # (B,)
 
-        done_j = st["done"]
-        n_new = jnp.zeros((b,), jnp.int32)
-        for j in range(K + 1):  # static unroll (K is small)
-            window, done_j, n_new = emit(j, (window, done_j, n_new))
+            # emit chain[0..a] with greedy_generate's exact stop semantics
+            window = jnp.full((b, K + 1), cfg.pad_token_id, jnp.int32)
 
-        # rows already done park their all-pad window in the buffer slack
-        # past max_new so they never clobber previously-written tokens
-        offset = jnp.where(st["done"], max_new, jnp.minimum(st["n_emit"], max_new - 1))
-        tokens = jax.vmap(
-            lambda row, w, o: jax.lax.dynamic_update_slice(row, w, (o,))
-        )(st["tokens"], window, offset)
+            def emit(j, carry):
+                window, done_j, n_new = carry
+                c_j = chain[:, j]
+                c_n = chain[:, j + 1]
+                valid = (j <= a) & ~done_j
+                window = window.at[:, j].set(jnp.where(valid, c_j, cfg.pad_token_id))
+                stopped = (
+                    (c_n == cfg.eos_token_id)
+                    | (c_n == cfg.stop_single)
+                    | ((c_j == cfg.stop_pair[0]) & (c_n == cfg.stop_pair[1]))
+                )
+                return window, done_j | (valid & stopped), n_new + valid.astype(jnp.int32)
 
-        n_emit = st["n_emit"] + n_new
-        length = st["length"] + a + 1
-        done = done_j | (n_emit >= max_new)
-        new_last = jnp.take_along_axis(chain, (a + 1)[:, None], axis=1)[:, 0]
-        new_prev = jnp.take_along_axis(chain, a[:, None], axis=1)[:, 0]
-        # restore true per-row frontiers (attention advanced them by K+1)
-        cache = tuple(dict(c, index=length) for c in cache)
-        active = (~st["done"]).astype(jnp.int32)
-        return dict(length=length, n_emit=n_emit, last=new_last, prev=new_prev,
-                    done=done, cache=cache, tokens=tokens,
-                    accepted=st["accepted"] + jnp.sum(a * active),
-                    drafted=st["drafted"] + K * jnp.sum(active),
-                    rounds=st["rounds"] + 1)
+            done_j = st["done"]
+            n_new = jnp.zeros((b,), jnp.int32)
+            for j in range(K + 1):  # static unroll (K is small)
+                window, done_j, n_new = emit(j, (window, done_j, n_new))
 
-    st = jax.lax.while_loop(cond, body, state)
+            # rows already done park their all-pad window in the buffer slack
+            # past max_new so they never clobber previously-written tokens
+            offset = jnp.where(st["done"], max_new, jnp.minimum(st["n_emit"], max_new - 1))
+            tokens = jax.vmap(
+                lambda row, w, o: jax.lax.dynamic_update_slice(row, w, (o,))
+            )(st["tokens"], window, offset)
+
+            n_emit = st["n_emit"] + n_new
+            length = st["length"] + a + 1
+            done = done_j | (n_emit >= max_new)
+            new_last = jnp.take_along_axis(chain, (a + 1)[:, None], axis=1)[:, 0]
+            new_prev = jnp.take_along_axis(chain, a[:, None], axis=1)[:, 0]
+            # restore true per-row frontiers (attention advanced them by K+1)
+            cache = tuple(dict(c, index=length) for c in cache)
+            active = (~st["done"]).astype(jnp.int32)
+            return dict(length=length, n_emit=n_emit, last=new_last, prev=new_prev,
+                        done=done, cache=cache, tokens=tokens,
+                        accepted=st["accepted"] + jnp.sum(a * active),
+                        drafted=st["drafted"] + K * jnp.sum(active),
+                        rounds=st["rounds"] + 1)
+
+        return body
+
+    # staged spec decode: verify round r (1-indexed across the whole run)
+    # writes and attends positions < p + r*(K+1) for every row (done rows
+    # included — their `length` also advances by at most K+1 per round), so
+    # a span with static kv_limit=lim can run while rounds < (lim-p)//(K+1)
+    # and every read slice still covers all live writes.  Same token
+    # stream, less KV streamed per verify pass (tight at oracle acceptance,
+    # conservative below it).
+    if cfg.staged_decode:
+        g = cfg.cache_granularity
+        limits = list(range(_round_up(p + K + 2, g), max_len + 1, g)) or [max_len]
+        limits[-1] = max_len
+    else:
+        limits = [max_len]
+
+    st = state
+    for lim in limits:
+        max_rounds = None if lim >= max_len else (lim - p) // (K + 1)
+        if max_rounds is not None and max_rounds <= 0:
+            continue
+        st = jax.lax.while_loop(make_cond(max_rounds), make_body(lim), st)
     out = st["tokens"][:, :max_new]
     if return_stats:
         return out, {"accepted": st["accepted"], "drafted": st["drafted"],

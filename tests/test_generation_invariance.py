@@ -137,6 +137,61 @@ def test_staged_decode_transcript_invariance():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_staged_spec_decode_transcript_invariance():
+    """Staged KV limits extend to speculative verify rounds: round r
+    (1-indexed across the run) touches positions < p + r*(K+1) for EVERY
+    row (done rows' frontiers also advance by at most K+1), so a span with
+    static kv_limit=lim can run (lim-p)//(K+1) rounds and every read slice
+    covers all live writes.  Transcripts must equal plain greedy for
+    n-gram drafts, oracle drafts (the tight-fit case: the frontier grows
+    exactly K+1 per round), mid-stage stops, and int8 caches."""
+    from myriad_tpu.generation import speculative_generate
+
+    model, params = _model()
+    rng = np.random.default_rng(13)
+    embeds = jnp.asarray(rng.normal(size=(3, 7, 64)).astype(np.float32) * 0.2)
+    base = dict(eos_token_id=-1, stop_single=-1, stop_pair=(-1, -1),
+                max_new_tokens=14)
+    for cache_dtype in (jnp.float32, "int8"):
+        ref = np.asarray(greedy_generate(
+            model, params, embeds,
+            config=GenerationConfig(cache_granularity=4, **base),
+            cache_dtype=cache_dtype))
+        for K in (2, 3):
+            got = np.asarray(speculative_generate(
+                model, params, embeds,
+                config=GenerationConfig(cache_granularity=4,
+                                        staged_decode=True, **base),
+                spec_k=K, cache_dtype=cache_dtype))
+            np.testing.assert_array_equal(
+                got, ref, err_msg=f"{cache_dtype} K={K}")
+        # oracle drafts: 100% acceptance, frontier = p + r*(K+1) exactly
+        oracle = jnp.asarray(np.concatenate(
+            [ref, np.zeros((3, 8), np.int32)], axis=1))
+        got = np.asarray(speculative_generate(
+            model, params, embeds,
+            config=GenerationConfig(cache_granularity=4, staged_decode=True,
+                                    **base),
+            spec_k=3, oracle_drafts=oracle, cache_dtype=cache_dtype))
+        np.testing.assert_array_equal(got, ref, err_msg=f"{cache_dtype} oracle")
+    # rows stopping inside an early span must stay stopped across spans
+    ref = np.asarray(greedy_generate(
+        model, params, embeds,
+        config=GenerationConfig(cache_granularity=4, **base),
+        cache_dtype=jnp.float32))
+    cfg_stop = dict(base, stop_single=int(ref[0, 5]))
+    a = np.asarray(greedy_generate(
+        model, params, embeds,
+        config=GenerationConfig(cache_granularity=4, **cfg_stop),
+        cache_dtype=jnp.float32))
+    s = np.asarray(speculative_generate(
+        model, params, embeds,
+        config=GenerationConfig(cache_granularity=4, staged_decode=True,
+                                **cfg_stop),
+        spec_k=3, cache_dtype=jnp.float32))
+    np.testing.assert_array_equal(s, a)
+
+
 def test_batch_invariance():
     """A row's greedy tokens don't depend on its batch neighbours."""
     model, params = _model()
