@@ -131,8 +131,10 @@ def main():
                         "over the valid cache prefix (token-exact, "
                         "bit-identical on device; cuts decode KV streaming "
                         "by the invalid bucket tail — measured 14.06 vs "
-                        "13.46 img/s at b48; also stages speculative verify "
-                        "rounds; --no-staged-decode disables)")
+                        "13.46 img/s at b48; --no-staged-decode disables; "
+                        "spec verify rounds only stage under "
+                        "MYRIAD_SPEC_STAGED=1 — measured slower, 17.43 vs "
+                        "18.39 at the b24 spec-oracle point)")
     p.add_argument("--decode-attn", type=str, default=None,
                    choices=["auto", "xla", "row", "bh"],
                    help="decode-attention dispatch override (MYRIAD_DECODE_ATTN): "

@@ -397,8 +397,15 @@ def speculative_generate(
     # a span with static kv_limit=lim can run while rounds < (lim-p)//(K+1)
     # and every read slice still covers all live writes.  Same token
     # stream, less KV streamed per verify pass (tight at oracle acceptance,
-    # conservative below it).
-    if cfg.staged_decode:
+    # conservative below it).  MEASURED AND REJECTED as a default on the
+    # current runtime: 17.43 vs 18.39 img/s at the d32/b24 spec-oracle
+    # point — the per-row vector-index cache writes plus a slice consumer
+    # defeat XLA's in-place update (the scalar-index greedy loop keeps it
+    # and wins, BENCH_NOTES r3b).  Kept behind MYRIAD_SPEC_STAGED=1 for
+    # re-measurement on runtime updates.
+    import os
+
+    if cfg.staged_decode and os.environ.get("MYRIAD_SPEC_STAGED") == "1":
         g = cfg.cache_granularity
         limits = list(range(_round_up(p + K + 2, g), max_len + 1, g)) or [max_len]
         limits[-1] = max_len

@@ -1058,9 +1058,11 @@ class Myriad(BaseModel):
             # chunked prefill (token-exact): set 3 to serve batch 28-32 on
             # one chip (generation.GenerationConfig.prefill_chunks)
             prefill_chunks=cfg.get("llm_prefill_chunks", 1),
-            # staged decode (token-exact): stream only the valid KV prefix
-            # per decode span (generation.GenerationConfig.staged_decode)
-            staged_decode=cfg.get("llm_staged_decode", False),
+            # staged decode (token-exact, default ON): stream only the valid
+            # KV prefix per decode span — strictly fewer bytes per step
+            # (generation.GenerationConfig.staged_decode; harness measured
+            # 12.27 vs 11.89 img/s at the b48 serving point)
+            staged_decode=cfg.get("llm_staged_decode", True),
         )
 
         # pretrained tower bootstrap: `weights: {vit, qformer, llama,

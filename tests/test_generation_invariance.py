@@ -137,15 +137,22 @@ def test_staged_decode_transcript_invariance():
     np.testing.assert_array_equal(got, ref)
 
 
-def test_staged_spec_decode_transcript_invariance():
+def test_staged_spec_decode_transcript_invariance(monkeypatch):
     """Staged KV limits extend to speculative verify rounds: round r
     (1-indexed across the run) touches positions < p + r*(K+1) for EVERY
     row (done rows' frontiers also advance by at most K+1), so a span with
     static kv_limit=lim can run (lim-p)//(K+1) rounds and every read slice
     covers all live writes.  Transcripts must equal plain greedy for
     n-gram drafts, oracle drafts (the tight-fit case: the frontier grows
-    exactly K+1 per round), mid-stage stops, and int8 caches."""
+    exactly K+1 per round), mid-stage stops, and int8 caches.
+
+    Measured-and-rejected as a default (17.43 vs 18.39 img/s at the
+    d32/b24 spec-oracle point — BENCH_NOTES r3b), so the spec path only
+    stages under MYRIAD_SPEC_STAGED=1; this test pins the forced variant's
+    exactness for re-measurement on runtime updates."""
     from myriad_tpu.generation import speculative_generate
+
+    monkeypatch.setenv("MYRIAD_SPEC_STAGED", "1")
 
     model, params = _model()
     rng = np.random.default_rng(13)
