@@ -40,8 +40,9 @@ class GenerationConfig:
     # activation temps shrink ~N-fold and the scanned cache carry forces
     # XLA to reuse one buffer set across chunks — the batch-28/32 OOM at
     # 7B scale is prefill-temp-bound (tools/memprobe.py attribution).
-    # Token-exact for any N (positions/causality are index-based).  Values
-    # that don't divide the prefix fall back to the largest divisor.
+    # Token-exact for ANY N and ANY prefix length (positions/causality are
+    # index-based): the prefix runs as ceil(p/N)-token chunks with a
+    # trailing remainder chunk — no divisibility requirement (_prefill).
     prefill_chunks: int = 1
     # KV-bucket rounding.  32 (default) keeps the bucket tile-aligned for
     # the row-grid decode-attention kernel (ops/decode_attention.py

@@ -699,13 +699,15 @@ class Myriad(BaseModel):
             staged_decode=generate_kwargs.get("staged_decode",
                                               self.staged_decode),
         )
-        if gen_cfg.do_sample and gen_cfg.top_p <= 0.01:
+        if gen_cfg.do_sample and gen_cfg.top_p <= 0.01 and gen_cfg.temperature <= 1.0:
             # the reference's shipped kwargs are do_sample=True top_p=0.01
-            # (evaluation_aqa_dataset.py:289-301) — ≈greedy (the README
-            # pledges greedy, Readme.md:42; equality on peaked logits is
-            # test-verified in test_generation_invariance).  Route to the
-            # deterministic greedy path so speculative decoding
-            # (llm_spec_k) engages under the reference protocol.
+            # temperature=1.0 (evaluation_aqa_dataset.py:289-301) — ≈greedy
+            # (the README pledges greedy, Readme.md:42; equality on peaked
+            # logits is test-verified in test_generation_invariance).
+            # Route to the deterministic greedy path so speculative
+            # decoding (llm_spec_k) engages under the reference protocol.
+            # Temperatures > 1 flatten the logits enough that top-p(0.01)
+            # can keep several tokens, so those stay on the sampler.
             gen_cfg = dataclasses.replace(gen_cfg, do_sample=False)
         seed = int(generate_kwargs.get("seed", 0))
         stage = 1

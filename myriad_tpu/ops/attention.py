@@ -63,6 +63,12 @@ def mha(
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     tq = q.shape[2]
     mode = os.environ.get("MYRIAD_DECODE_ATTN", "auto")
+    if mode == "xla":
+        # forced-XLA A/B anchor: bypass every kernel dispatch below
+        return _xla_mha(q, k, v, mask, scale, k_scale, v_scale)
+    if mode == "bh" and tq == 1:
+        # force the per-(b,h) Pallas decode kernel regardless of KV length
+        use_pallas = True
     if tq == 1 and mode == "row":
         from myriad_tpu.ops.decode_attention import (decode_attention_rows,
                                                      rows_supported)
@@ -78,11 +84,23 @@ def mha(
         # explicitly-forced variant (transcript-exact: bit-identical greedy
         # tokens at d32/b24 on device) for re-measurement on runtime
         # updates; NOT part of auto dispatch.
-        if rows_supported(b, h, k.shape[2], d):
+        if rows_supported(b, h, k.shape[2], d, kv_dtype=k.dtype):
             return decode_attention_rows(
                 q, k, v, mask=mask, scale=scale,
                 k_scale=k_scale, v_scale=v_scale,
             )
+        # forced-row fallback must be LOUD: a bit-identity check or bench
+        # run with an unaligned bucket would otherwise silently measure
+        # the XLA path while reporting the row kernel (same hazard as the
+        # forced-Pallas tq!=1 case below)
+        import warnings
+
+        warnings.warn(
+            f"mha: MYRIAD_DECODE_ATTN=row forced but rows_supported("
+            f"b={b}, h={h}, t={k.shape[2]}, d={d}, kv_dtype={k.dtype}) is "
+            "False — falling back to the auto dispatch",
+            stacklevel=2,
+        )
     if use_pallas is None:
         # measured on v5e: at short KV (<=384, the AQA regime) XLA's fused
         # attention pipelines the batched heads better than the per-(b,h)

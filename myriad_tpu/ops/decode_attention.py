@@ -185,13 +185,16 @@ def _decode_rows_padded(q, k, v, mask, k_scale, v_scale, scale: float,
     return f(q, k, v, mask)
 
 
-def rows_supported(b: int, h: int, t: int, d: int) -> bool:
+def rows_supported(b: int, h: int, t: int, d: int, kv_dtype=None) -> bool:
     """Row-grid eligibility: T/D tile-aligned so NO pad copy of the cache is
     ever made (generation allocates 32-granular buckets), and the (H, T, D)
-    K+V blocks fit double-buffered VMEM."""
+    K+V blocks fit double-buffered VMEM at the cache's ACTUAL width — a
+    bf16 cache doubles the block size vs int8, so gating at int8 width
+    would pass shapes whose real blocks blow the Mosaic VMEM budget."""
     if t % 32 != 0 or d % 128 != 0:
         return False
-    block_bytes = 2 * h * t * d  # K + V at int8 width (bf16 would be 2x)
+    itemsize = 1 if kv_dtype is None else jnp.dtype(kv_dtype).itemsize
+    block_bytes = 2 * h * t * d * itemsize  # K + V at cache width
     return 2 * block_bytes <= 12 << 20
 
 
@@ -211,7 +214,7 @@ def decode_attention_rows(
     b, h, tq, d = q.shape
     assert tq == 1, "decode kernel handles a single query step"
     t = k.shape[2]
-    assert rows_supported(b, h, t, d), (b, h, t, d)
+    assert rows_supported(b, h, t, d, kv_dtype=k.dtype), (b, h, t, d, k.dtype)
     scale = scale if scale is not None else d**-0.5
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"

@@ -77,6 +77,8 @@ def _head_block(tq: int, h: int) -> int:
     import os
 
     want = int(os.environ.get("MYRIAD_PREFILL_HEAD_BLOCK", "8"))
+    if want == 1:
+        return 1  # explicit opt-out: measure the unblocked variant
     for hb in (want, 8, 4, 2):
         if hb > 1 and h % hb == 0:
             return hb

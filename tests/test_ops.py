@@ -94,6 +94,12 @@ def test_rows_supported_gate():
     assert not rows_supported(48, 32, 400, 128)    # unaligned bucket
     assert not rows_supported(48, 32, 416, 64)     # unaligned head dim
     assert not rows_supported(1, 32, 4096, 128)    # K+V blocks exceed VMEM
+    # the gate sizes blocks at the cache's ACTUAL width: a bf16 cache
+    # doubles block bytes, so shapes in (1.5M, 3M] elements pass at int8
+    # but must fail at bf16 (h*t*d = 32*608*128 ≈ 2.4M)
+    import jax.numpy as jnp
+    assert rows_supported(8, 32, 608, 128, kv_dtype=jnp.int8)
+    assert not rows_supported(8, 32, 608, 128, kv_dtype=jnp.bfloat16)
 
 
 def test_mha_decode_attn_row_env_routes(rng, monkeypatch):

@@ -236,6 +236,13 @@ def test_reference_protocol_routes_to_spec():
     greedy = m.generate(samples, max_new_tokens=8, do_sample=False)
     np.testing.assert_array_equal(np.asarray(ref_protocol["token_ids"]),
                                   np.asarray(greedy["token_ids"]))
+    # the greedy rewrite requires temperature <= 1: at flattening
+    # temperatures top-p(0.01) can keep several tokens (genuinely
+    # stochastic), so those kwargs must stay on the sampler — no
+    # spec_stats in the result
+    hot = m.generate(samples, max_new_tokens=8, do_sample=True,
+                     top_p=0.01, temperature=3.0)
+    assert "spec_stats" not in hot, "temperature>1 must stay on the sampler"
 
 
 def test_spec_quant_weights(tiny):

@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import re
 import sys
 
 import numpy as np
@@ -141,7 +142,15 @@ def convert_all(args):
             ):
                 sources["llama"] = full
                 break
-    trainable_ckpts = sorted(glob.glob(os.path.join(args.src, "checkpoint_*.pth")))
+    # latest NUMERIC epoch wins (lexicographic sort would rank
+    # checkpoint_9 over checkpoint_10 and checkpoint_best over both);
+    # non-numeric names (checkpoint_best.pth) are a fallback only
+    def _epoch(path):
+        m = re.search(r"checkpoint_(\d+)\.pth$", path)
+        return (1, int(m.group(1))) if m else (0, -1)
+
+    trainable_ckpts = sorted(glob.glob(os.path.join(args.src, "checkpoint_*.pth")),
+                             key=_epoch)
     if trainable_ckpts:
         sources["trainables"] = trainable_ckpts[-1]
 
