@@ -125,6 +125,17 @@ def main():
                         "1 restores single-shot prefill")
     p.add_argument("--breakdown", action="store_true",
                    help="additionally time VE-maps / prefill / decode phases")
+    p.add_argument("--pad-prefix", type=int, default=0, metavar="T",
+                   help="prepend T extra text tokens to the prompt — "
+                        "simulates conversation-mode chat history so the "
+                        "decode loop runs in the long-KV regime (the "
+                        "Pallas decode-attention kernel engages at KV "
+                        ">= 2048; pair with --decode-attn for an A/B)")
+    p.add_argument("--cache-granularity", type=int, default=32, metavar="G",
+                   help="KV bucket rounding AND staged-span width "
+                        "(GenerationConfig.cache_granularity): finer = "
+                        "tighter bucket + shorter average streamed KV per "
+                        "step, more staged spans in the program")
     p.add_argument("--staged-decode", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="decode in KV-growth stages: each span attends only "
@@ -227,6 +238,13 @@ def main():
 
     question = "<Img><ImageHere></Img>" + QUESTION_PROMPTS[1]
     before, after = model.split_prompt(question)
+    if args.pad_prefix:
+        # conversation-mode simulation: tile the question's own ids as fake
+        # chat history ahead of `before` (token VALUES are irrelevant to the
+        # bandwidth profile; random weights anyway)
+        reps = -(-args.pad_prefix // before.shape[0])
+        pad = np.tile(np.asarray(before), reps)[: args.pad_prefix]
+        before = np.concatenate([pad, np.asarray(before)])
     before_j, after_j = jnp.asarray(before), jnp.asarray(after)
 
     if args.mode == "train":
@@ -238,6 +256,7 @@ def main():
         max_new_tokens=DECODE_TOKENS, eos_token_id=-1, stop_single=-1,
         stop_pair=(-1, -1), prefill_chunks=args.prefill_chunks,
         staged_decode=args.staged_decode,
+        cache_granularity=args.cache_granularity,
     )  # stops disabled: measure the full 90-token budget deterministically
 
     params = model.params

@@ -297,6 +297,7 @@ class Myriad(BaseModel):
         bos_at_generate: bool = False,
         prefill_chunks: int = 1,
         staged_decode: bool = False,
+        cache_granularity: int = 32,
     ):
         self.arch = arch or MyriadArch.full()
         if use_lora:
@@ -329,6 +330,11 @@ class Myriad(BaseModel):
         # staged decode (token-exact, generation.GenerationConfig
         # .staged_decode): stream only the valid KV prefix per decode span
         self.staged_decode = bool(staged_decode)
+        # KV bucket rounding AND staged-span width (GenerationConfig
+        # .cache_granularity): finer granularity = tighter bucket + shorter
+        # average streamed KV per decode step, at the cost of more staged
+        # while-loop spans in the compiled program
+        self.cache_granularity = int(cache_granularity)
         policy = policy or Policy.bf16()
         self.policy = policy
 
@@ -698,6 +704,8 @@ class Myriad(BaseModel):
                                                self.prefill_chunks),
             staged_decode=generate_kwargs.get("staged_decode",
                                               self.staged_decode),
+            cache_granularity=generate_kwargs.get("cache_granularity",
+                                                  self.cache_granularity),
         )
         if gen_cfg.do_sample and gen_cfg.top_p <= 0.01 and gen_cfg.temperature <= 1.0:
             # the reference's shipped kwargs are do_sample=True top_p=0.01
@@ -1065,6 +1073,9 @@ class Myriad(BaseModel):
             # (generation.GenerationConfig.staged_decode; harness measured
             # 12.27 vs 11.89 img/s at the b48 serving point)
             staged_decode=cfg.get("llm_staged_decode", True),
+            # KV bucket rounding + staged-span width
+            # (generation.GenerationConfig.cache_granularity)
+            cache_granularity=cfg.get("llm_cache_granularity", 32),
         )
 
         # pretrained tower bootstrap: `weights: {vit, qformer, llama,

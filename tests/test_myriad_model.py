@@ -74,6 +74,23 @@ def test_generate_shapes_and_determinism(myriad_tiny):
     assert out["ve_anomaly_maps"].shape[0] == 2
 
 
+def test_generate_cache_granularity_invariance(myriad_tiny):
+    """The model-level cache_granularity knob (llm_cache_granularity /
+    generate kwarg) only changes the KV bucket rounding and staged-span
+    width — transcripts must be identical across settings, staged or not
+    (generation-level invariance is pinned in test_generation_invariance;
+    this pins the Myriad plumbing)."""
+    m = myriad_tiny
+    s = _samples(with_aug=False)
+    base = np.asarray(m.generate(s, max_new_tokens=6)["token_ids"])
+    for g in (4, 16):
+        for staged in (False, True):
+            out = m.generate(s, max_new_tokens=6, cache_granularity=g,
+                             staged_decode=staged)
+            np.testing.assert_array_equal(base, np.asarray(out["token_ids"]),
+                                          err_msg=f"g={g} staged={staged}")
+
+
 def test_myriad_with_vision_expert():
     model = Myriad(
         arch=MyriadArch.tiny(), use_ve=True, policy=Policy.fp32(), max_txt_len=16,
