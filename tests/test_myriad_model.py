@@ -182,8 +182,13 @@ def test_registry_and_from_config():
             "max_txt_len": 16,
             "end_sym": "###",
             "vit_precision": "fp32",
+            "llm_cache_granularity": 16,
+            "llm_prefill_chunks": 2,
         }
     )
     model = cls.from_config(cfg)
+    assert model.cache_granularity == 16
+    assert model.prefill_chunks == 2
+    assert model.staged_decode is True  # serving default
     out = model.forward(_samples(), rng=np.random.default_rng(0))
     assert np.isfinite(float(out["loss"]))

@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-3c TPU measurement queue (run serially; each bench is one process).
+# Usage: bash tools/sweep_r3c.sh [outdir]
+set -u
+OUT=${1:-/tmp/sweep_r3c}
+mkdir -p "$OUT"
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ===" | tee -a "$OUT/summary.log"
+  timeout 3000 python bench.py "$@" > "$OUT/$name.log" 2>&1
+  tail -1 "$OUT/$name.log" | tee -a "$OUT/summary.log"
+}
+
+# 1. default repro (b48 / 9-chunk / staged / g32) — cached compile
+run default
+# 2. granularity 16: tighter bucket (400) + finer staged spans
+run g16 --cache-granularity 16
+# 3. fewer prefill chunks at b48 (re-stream cost ~8 ms/chunk)
+run chunks6 --prefill-chunks 6
+# 4. train batch 16 probe
+run train_b16 --mode train --batch 16
+# 5. long-KV conversation regime A/B (prefix ~2048): XLA vs auto (Pallas)
+run chat_xla --pad-prefix 1751 --batch 8 --decode-attn xla
+run chat_auto --pad-prefix 1751 --batch 8
