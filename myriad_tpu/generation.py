@@ -214,6 +214,73 @@ def greedy_generate(
     return tokens
 
 
+def continue_generate(
+    model: LlamaForCausalLM,
+    params,
+    new_embeds: jnp.ndarray,
+    cache,
+    *,
+    config: Optional[GenerationConfig] = None,
+    rng: Optional[jax.Array] = None,
+):
+    """Generate from a cache that already holds earlier-prompt KV.
+
+    The incremental chat primitive (conversation.Chat): ``new_embeds``
+    (B, T_new, D) is prefilled at the cache's current write frontier —
+    positions and causal masks derive from the cache ``index``, so this is
+    token-exact vs prefilling the whole concatenated prompt at once
+    (tested in test_generation_invariance) — then the decode loop runs.
+    Per turn, prefill cost drops from O(full history) to O(new segment);
+    the reference re-runs HF generate over the entire concatenated
+    conversation every turn (conversation.py:215-229).
+
+    Returns ``(tokens, prompt_cache)`` where ``prompt_cache`` is the cache
+    AFTER the prefill but BEFORE any decode writes: its frontier marks the
+    end of the prompt, so the caller can extend the conversation next turn
+    without decode-time scratch entries poisoning the prefix (the next
+    turn's prefill overwrites slots past the returned frontier).
+
+    The caller sizes the cache: frontier + T_new + max_new_tokens must fit
+    the bucket.  Decode here is UNSTAGED (staged spans need a static
+    frontier; chat frontiers are traced loop state), which also keeps one
+    compiled program valid for every turn at a given (T_new, bucket) shape.
+    """
+    cfg = config or GenerationConfig()
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    b = new_embeds.shape[0]
+    assert cache[0]["k"].shape[0] == b, "cache batch mismatch"
+
+    logits, cache = _prefill(model, params, new_embeds, cache,
+                             cfg.prefill_chunks)
+    prompt_cache = cache
+    last = _select_token(logits[:, -1].astype(jnp.float32), cfg, rng)
+
+    def body(state):
+        step, last, done, cache, tokens, rng = state
+        tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
+        embeds = model.apply(params, last[:, None], method=LlamaForCausalLM.embed)
+        logits, cache = model.apply(params, embeds, cache=cache)
+        rng, sub = jax.random.split(rng)
+        nxt = _select_token(logits[:, -1].astype(jnp.float32), cfg, sub)
+        stopped = (
+            (nxt == cfg.eos_token_id)
+            | (nxt == cfg.stop_single)
+            | ((last == cfg.stop_pair[0]) & (nxt == cfg.stop_pair[1]))
+        )
+        return step + 1, nxt, done | stopped, cache, tokens, rng
+
+    def cond(state):
+        step, _, done, _, _, _ = state
+        return jnp.logical_and(step < cfg.max_new_tokens - 1, ~jnp.all(done))
+
+    tokens = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
+    done0 = (last == cfg.eos_token_id) | (last == cfg.stop_single)
+    state = (jnp.int32(0), last, done0, cache, tokens, rng)
+    step, last, done, cache, tokens, rng = jax.lax.while_loop(cond, body, state)
+    tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
+    return tokens, prompt_cache
+
+
 def speculative_generate(
     model: LlamaForCausalLM,
     params,

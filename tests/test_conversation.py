@@ -39,3 +39,39 @@ def test_chat_roundtrip():
     text, tokens = chat.answer(conv, img_list, max_new_tokens=4)
     assert isinstance(text, str)
     assert conv.messages[-1][1] == text
+
+
+def test_chat_incremental_matches_full_reprefill():
+    """The incremental KV-cache chat (prefill only the per-turn prompt
+    delta, generation.continue_generate) must produce token-identical
+    transcripts to the reference-shaped full re-prefill across a
+    multi-turn conversation, while actually reusing the cached prefix."""
+    model = Myriad(arch=MyriadArch.tiny(), use_ve=False, policy=Policy.fp32(),
+                   max_txt_len=16, end_sym="###")
+    proc = LocImageTrainProcessor(identity=True)
+    rng = np.random.default_rng(1)
+    image = rng.integers(0, 255, (28, 28, 3), dtype=np.uint8)
+    questions = ["Is there any defect?", "Where is it?", "How severe?"]
+
+    def run(incremental):
+        chat = Chat(model, proc, incremental=incremental)
+        conv = CONV_VISION.copy()
+        img_list = []
+        chat.upload_img(image, conv, img_list)
+        out = []
+        for q in questions:
+            chat.ask(q, conv)
+            text, tokens = chat.answer(conv, img_list, max_new_tokens=5)
+            out.append((text, tokens))
+        return chat, out
+
+    chat_inc, inc = run(True)
+    _, full = run(False)
+    for turn, ((ti, ki), (tf, kf)) in enumerate(zip(inc, full)):
+        assert ti == tf, f"turn {turn} text diverged"
+        np.testing.assert_array_equal(ki, kf, err_msg=f"turn {turn}")
+    # the cache was genuinely reused: every turn after the first prefilled
+    # only its prompt delta (jit keys record the per-call prefill widths)
+    deltas = sorted(k[0] for k in chat_inc._jit_cache)
+    assert len(deltas) == len(questions)
+    assert deltas[0] < chat_inc._frontier, "later turns re-prefilled everything"

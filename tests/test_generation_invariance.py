@@ -33,6 +33,48 @@ def test_prefix_consistency_across_budgets():
     np.testing.assert_array_equal(short, long[:, :6])
 
 
+def test_continue_generate_matches_full_prefill():
+    """continue_generate (the incremental-chat primitive) must be
+    token-exact vs prefilling the whole prompt at once: positions and the
+    causal mask derive from the cache write frontier, so prefilling a
+    prompt in two (or three) separate calls changes nothing.  Also pins
+    that the returned prompt_cache is decode-free: extending it with a
+    third segment reproduces the full-prefill transcript of the longer
+    prompt."""
+    from myriad_tpu.generation import continue_generate
+    from myriad_tpu.models.llama import init_cache
+
+    model, params = _model()
+    rng = np.random.default_rng(11)
+    p1, p2, p3 = 9, 6, 5
+    full = jnp.asarray(
+        rng.normal(size=(2, p1 + p2 + p3, 64)).astype(np.float32) * 0.2)
+    base = dict(eos_token_id=-1, stop_single=-1, stop_pair=(-1, -1),
+                max_new_tokens=8)
+    cfg = GenerationConfig(**base)
+    for cache_dtype in (jnp.float32, "int8"):
+        ref12 = np.asarray(greedy_generate(
+            model, params, full[:, : p1 + p2], config=cfg,
+            cache_dtype=cache_dtype))
+        ref123 = np.asarray(greedy_generate(
+            model, params, full, config=cfg, cache_dtype=cache_dtype))
+
+        bucket = p1 + p2 + p3 + cfg.max_new_tokens + 4
+        cache = init_cache(model.config, 2, bucket, cache_dtype)
+        _, cache = model.apply(params, full[:, :p1], cache=cache,
+                               method=LlamaForCausalLM.prefill)
+        tok12, prompt_cache = continue_generate(
+            model, params, full[:, p1 : p1 + p2], cache, config=cfg)
+        np.testing.assert_array_equal(np.asarray(tok12), ref12,
+                                      err_msg=f"{cache_dtype} turn 1")
+        # prompt_cache must hold ONLY the p1+p2 prompt (no decode scratch
+        # that the mask could ever admit): continue with segment 3
+        tok123, _ = continue_generate(
+            model, params, full[:, p1 + p2 :], prompt_cache, config=cfg)
+        np.testing.assert_array_equal(np.asarray(tok123), ref123,
+                                      err_msg=f"{cache_dtype} turn 2")
+
+
 def test_chunked_prefill_transcript_invariance():
     """prefill_chunks (the batch-28+ memory lever) must be token-exact:
     any chunking of the prefix produces the identical greedy transcript,
