@@ -75,3 +75,31 @@ def test_chat_incremental_matches_full_reprefill():
     deltas = sorted(k[0] for k in chat_inc._jit_cache)
     assert len(deltas) == len(questions)
     assert deltas[0] < chat_inc._frontier, "later turns re-prefilled everything"
+
+
+def test_chat_multi_image_incremental():
+    """A second uploaded image mid-conversation is a pure prompt extension:
+    the incremental path keeps reusing the prefix and stays token-identical
+    to the full re-prefill."""
+    model = Myriad(arch=MyriadArch.tiny(), use_ve=False, policy=Policy.fp32(),
+                   max_txt_len=16, end_sym="###")
+    proc = LocImageTrainProcessor(identity=True)
+    rng = np.random.default_rng(2)
+    imgs = [rng.integers(0, 255, (28, 28, 3), dtype=np.uint8) for _ in range(2)]
+
+    def run(incremental):
+        chat = Chat(model, proc, incremental=incremental)
+        conv = CONV_VISION.copy()
+        img_list = []
+        chat.upload_img(imgs[0], conv, img_list)
+        chat.ask("Any defect?", conv)
+        out = [chat.answer(conv, img_list, max_new_tokens=4)]
+        chat.upload_img(imgs[1], conv, img_list)
+        chat.ask("Compare with this one.", conv)
+        out.append(chat.answer(conv, img_list, max_new_tokens=4))
+        return out
+
+    inc, full = run(True), run(False)
+    for turn, ((ti, ki), (tf, kf)) in enumerate(zip(inc, full)):
+        assert ti == tf, f"turn {turn} text diverged"
+        np.testing.assert_array_equal(ki, kf, err_msg=f"turn {turn}")

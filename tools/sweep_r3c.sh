@@ -18,8 +18,10 @@ run default
 run g16 --cache-granularity 16
 # 3. fewer prefill chunks at b48 (re-stream cost ~8 ms/chunk)
 run chunks6 --prefill-chunks 6
-# 4. train batch 16 probe
+# 4. spec-oracle at granularity 16 (bucket 400 vs 416 in the verify reads)
+run spec_g16 --spec 3 --spec-oracle --batch 24 --prefill-chunks 1 --cache-granularity 16
+# 5. train batch 16 probe
 run train_b16 --mode train --batch 16
-# 5. long-KV conversation regime A/B (prefix ~2048): XLA vs auto (Pallas)
+# 6. long-KV conversation regime A/B (prefix ~2048): XLA vs auto (Pallas)
 run chat_xla --pad-prefix 1751 --batch 8 --decode-attn xla
 run chat_auto --pad-prefix 1751 --batch 8
