@@ -188,12 +188,18 @@ class Chat:
         else:
             tokens = greedy_generate(
                 llama, {"params": self.model.params["llama"]}, embeds,
-                config=cfg,
+                config=cfg, cache_dtype=self._cache_dtype(),
             )
         text = self.model.llama_tokenizer.batch_decode(np.asarray(tokens))[0]
         text = text.split("###")[0].split("Assistant:")[-1].strip()
         conv.messages[-1][1] = text
         return text, np.asarray(tokens)
+
+    def _cache_dtype(self):
+        """Serving KV dtype: follows the arch knob (int8 halves the cache
+        and streams at int8 width; same rule as Myriad.generate)."""
+        return ("int8" if self.model.arch.llama.kv_cache_dtype == "int8"
+                else self.model.policy.compute_dtype)
 
     def _incremental_generate(self, llama, cfg, units: List[int],
                               embeds: jnp.ndarray) -> jnp.ndarray:
@@ -222,10 +228,8 @@ class Chat:
             # SHORTER than the old frontier: stale slots between the new
             # total and the old frontier sit at positions the causal mask
             # admits.
-            cache_dtype = ("int8"
-                           if self.model.arch.llama.kv_cache_dtype == "int8"
-                           else self.model.policy.compute_dtype)
-            self._cache = init_cache(llama.config, 1, bucket, cache_dtype)
+            self._cache = init_cache(llama.config, 1, bucket,
+                                     self._cache_dtype())
             self._bucket = bucket
             common = 0
         delta = embeds[:, common:]

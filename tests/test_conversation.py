@@ -103,3 +103,36 @@ def test_chat_multi_image_incremental():
     for turn, ((ti, ki), (tf, kf)) in enumerate(zip(inc, full)):
         assert ti == tf, f"turn {turn} text diverged"
         np.testing.assert_array_equal(ki, kf, err_msg=f"turn {turn}")
+
+
+def test_chat_incremental_int8_kv():
+    """Incremental chat picks the serving int8 KV cache dtype from the arch
+    and stays token-identical to the full re-prefill there too."""
+    import dataclasses
+
+    arch = MyriadArch.tiny()
+    arch = dataclasses.replace(
+        arch, llama=dataclasses.replace(arch.llama, kv_cache_dtype="int8"))
+    model = Myriad(arch=arch, use_ve=False, policy=Policy.fp32(),
+                   max_txt_len=16, end_sym="###")
+    proc = LocImageTrainProcessor(identity=True)
+    rng = np.random.default_rng(3)
+    image = rng.integers(0, 255, (28, 28, 3), dtype=np.uint8)
+
+    def run(incremental):
+        chat = Chat(model, proc, incremental=incremental)
+        conv = CONV_VISION.copy()
+        img_list = []
+        chat.upload_img(image, conv, img_list)
+        out = []
+        for q in ["Any defect?", "Where?"]:
+            chat.ask(q, conv)
+            out.append(chat.answer(conv, img_list, max_new_tokens=4))
+        return chat, out
+
+    chat_inc, inc = run(True)
+    assert chat_inc._cache[0]["k"].dtype == np.int8
+    _, full = run(False)
+    for turn, ((ti, ki), (tf, kf)) in enumerate(zip(inc, full)):
+        assert ti == tf, f"turn {turn} text diverged"
+        np.testing.assert_array_equal(ki, kf, err_msg=f"turn {turn}")
