@@ -25,3 +25,16 @@ run train_b16 --mode train --batch 16
 # 6. long-KV conversation regime A/B (prefix ~2048): XLA vs auto (Pallas)
 run chat_xla --pad-prefix 1751 --batch 8 --decode-attn xla
 run chat_auto --pad-prefix 1751 --batch 8
+
+# 7. bandwidth-ceiling attribution: is 515 GB/s the runtime or the kernel
+#    pipeline?  xla vs pallas single-stream, and 2-stream aggregate.
+probe() {
+  name=$1; shift
+  echo "=== bwprobe $name: $* ===" | tee -a "$OUT/summary.log"
+  timeout 1200 python tools/bwprobe.py "$@" > "$OUT/bw_$name.log" 2>&1
+  tail -1 "$OUT/bw_$name.log" | tee -a "$OUT/summary.log"
+}
+probe pallas --impl pallas
+probe xla --impl xla
+probe two_stream --impl pallas2
+probe pallas_4m --impl pallas --block 1024
