@@ -198,10 +198,12 @@ def main():
         arch = dataclasses.replace(
             arch, llama=dataclasses.replace(arch.llama, weight_dtype=args.quant)
         )
-    if args.kv == "int8":
-        arch = dataclasses.replace(
-            arch, llama=dataclasses.replace(arch.llama, kv_cache_dtype="int8")
-        )
+    # --kv is authoritative either way, so the arch knob is the single
+    # source of truth downstream (serving_cache_dtype)
+    arch = dataclasses.replace(
+        arch, llama=dataclasses.replace(
+            arch.llama, kv_cache_dtype="int8" if args.kv == "int8" else "bf16")
+    )
     if args.vit_quant:
         arch = dataclasses.replace(
             arch,
@@ -263,7 +265,8 @@ def main():
     ve_params = ve.params
     text_feats = ve._text_feats[jnp.zeros((b,), jnp.int32)]
     ve_module = ve.module
-    cache_dtype = "int8" if args.kv == "int8" else model.policy.compute_dtype
+    from myriad_tpu.models.llama import serving_cache_dtype
+    cache_dtype = serving_cache_dtype(arch.llama, model.policy.compute_dtype)
     rng_key = __import__("jax").random.PRNGKey(0)
 
     @__import__("jax").jit

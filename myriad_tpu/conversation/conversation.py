@@ -69,18 +69,47 @@ class Chat:
     earlier tokens simply falls back to a full re-prefill.
     """
 
+    # pad each turn's prompt delta up to a multiple of this before the
+    # incremental prefill, so one compiled program serves every turn whose
+    # delta fits the padded width (the delta width is otherwise unique per
+    # turn, and each new shape costs a multi-minute XLA compile on the
+    # remote TPU — far more than the prefill it saves)
+    DELTA_PAD = 64
+
     def __init__(self, model, vis_processor, incremental: bool = True):
         self.model = model
         self.vis_processor = vis_processor
         self.incremental = incremental
         # incremental-mode state: device KV cache holding the prompt prefix,
         # its write frontier, and the flattened token "units" it covers
-        # (text ids >= 0; image i's tokens encoded as -(i+1))
+        # (text ids >= 0; image i's columns as ("img", i, serial) tuples)
         self._cache = None
         self._frontier = 0
-        self._units: List[int] = []
+        self._units: List = []
         self._bucket = 0
         self._jit_cache: Dict = {}
+        # embedding-object serial numbers: a unit must identify the image
+        # CONTENT, not just its list slot, or swapping an img_list entry
+        # between turns would silently reuse KV from the old image.  Each
+        # distinct embedding object gets a fresh serial; a weakref
+        # finalizer retires the id() key when the object dies, so a new
+        # object reusing the same id() can never alias an old serial.
+        self._embed_serials: Dict[int, int] = {}
+        self._next_serial = 0
+        # true (unpadded) prefill width of each incremental turn — the
+        # observable that tests/debugging use to confirm prefix reuse
+        self._delta_log: List[int] = []
+
+    def _embed_serial(self, emb) -> int:
+        import weakref
+
+        key = id(emb)
+        if key not in self._embed_serials:
+            serial = self._next_serial
+            self._next_serial += 1
+            self._embed_serials[key] = serial
+            weakref.finalize(emb, self._embed_serials.pop, key, None)
+        return self._embed_serials[key]
 
     def upload_img(self, image, conv: Conversation, img_list: List) -> str:
         """Encode an image into LLM-space tokens (conversation.py:190-213).
@@ -130,38 +159,108 @@ class Chat:
         else:
             conv.append_message(conv.roles[0], text)
 
-    def _context_units_and_embeds(
+    def _context_units(
         self, conv: Conversation, img_list: List
-    ) -> Tuple[List[int], jnp.ndarray]:
-        """Interleave text segments and image embeddings
-        (conversation.py:215-229).
-
-        Also returns the flattened token-unit sequence (text ids as-is,
-        image i's embedding positions as -(i+1)) used for the incremental
-        prefix match — two prompts share cached KV exactly as far as their
-        unit sequences agree."""
+    ) -> Tuple[List, List[List[int]]]:
+        """Host-only tokenize walk: the flattened token-unit sequence (text
+        ids as-is, image i's columns as ("img", i, embed-serial) tuples —
+        the serial pins the embedding OBJECT, so replacing an img_list
+        entry falls back to a full re-prefill) plus the per-segment id
+        lists.  Two prompts share cached KV exactly as far as their unit
+        sequences agree; each unit owns exactly one embed column."""
         prompt = conv.get_prompt()
         segments = prompt.split("<ImageHere>")
         assert len(segments) == len(img_list) + 1, "prompt/image count mismatch"
         tok = self.model.llama_tokenizer
-        embeds = []
-        units: List[int] = []
+        units: List = []
+        seg_ids: List[List[int]] = []
         for i, seg in enumerate(segments):
             ids = tok(seg, add_special_tokens=(i == 0))["input_ids"]
             ids = ids[0] if ids and isinstance(ids[0], list) else ids
-            units.extend(int(t) for t in ids)
-            seg_ids = jnp.asarray([list(ids)], jnp.int32)
-            from myriad_tpu.models.myriad import MyriadModule
+            ids = [int(t) for t in ids]
+            seg_ids.append(ids)
+            units.extend(ids)
+            if i < len(img_list):
+                unit = ("img", i, self._embed_serial(img_list[i]))
+                units.extend([unit] * img_list[i].shape[1])
+        return units, seg_ids
 
+    def _context_units_and_embeds(
+        self, conv: Conversation, img_list: List
+    ) -> Tuple[List, jnp.ndarray]:
+        """Interleave text segments and image embeddings into the full
+        prompt embedding (conversation.py:215-229) — the reference-shaped
+        full-re-prefill path."""
+        from myriad_tpu.models.myriad import MyriadModule
+
+        units, seg_ids = self._context_units(conv, img_list)
+        embeds = []
+        for i, ids in enumerate(seg_ids):
             seg_emb = self.model.module.apply(
-                {"params": self.model.params}, seg_ids,
+                {"params": self.model.params},
+                jnp.asarray([ids], jnp.int32),
                 method=MyriadModule.embed_tokens,
             )
             embeds.append(seg_emb)
             if i < len(img_list):
                 embeds.append(img_list[i].astype(seg_emb.dtype))
-                units.extend([-(i + 1)] * img_list[i].shape[1])
         return units, jnp.concatenate(embeds, axis=1)
+
+    def _embed_ids(self, ids: List[int], width: int) -> jnp.ndarray:
+        """Embed a host-side id list as ONE jitted call, zero-padded to
+        ``width`` so the compiled-program count is bounded by the width
+        buckets (each new shape costs a compile on the remote TPU; pad
+        columns are mask-dead downstream via continue_generate's
+        valid_len)."""
+        import jax
+
+        from myriad_tpu.models.myriad import MyriadModule
+
+        key = ("embed", width)
+        if key not in self._jit_cache:
+            module = self.model.module
+            self._jit_cache[key] = jax.jit(
+                lambda p, i: module.apply(
+                    {"params": p}, i, method=MyriadModule.embed_tokens)
+            )
+        padded = jnp.asarray([ids + [0] * (width - len(ids))], jnp.int32)
+        return self._jit_cache[key](self.model.params, padded)
+
+    def _embed_units(self, units: List, img_list: List, width: int) -> jnp.ndarray:
+        """Build the (1, width, D) embedding of a unit slice: text runs
+        embed through the jitted bucket, image runs reuse the encoder
+        output already on device.  The common incremental turn (one text
+        run) is a single device dispatch — per-turn host work is O(delta),
+        not O(history)."""
+        runs: List = []  # ("txt", [ids]) | ("img", i, n_cols)
+        for u in units:
+            if isinstance(u, tuple):
+                if runs and runs[-1][0] == "img" and runs[-1][1] == u[1]:
+                    runs[-1] = ("img", u[1], runs[-1][2] + 1)
+                else:
+                    runs.append(("img", u[1], 1))
+            else:
+                if runs and runs[-1][0] == "txt":
+                    runs[-1][1].append(u)
+                else:
+                    runs.append(("txt", [u]))
+        if len(runs) == 1 and runs[0][0] == "txt":
+            return self._embed_ids(runs[0][1], width)
+        parts = []
+        for r in runs:
+            if r[0] == "txt":
+                w = -(-len(r[1]) // self.DELTA_PAD) * self.DELTA_PAD
+                parts.append(self._embed_ids(r[1], w)[:, : len(r[1])])
+            else:
+                # a partial image run can only be the TAIL of the image's
+                # columns (its identical units diverge at the first column)
+                emb = img_list[r[1]]
+                parts.append(emb[:, emb.shape[1] - r[2]:])
+        # image embeds cast to the token-embedding dtype, matching the full
+        # re-prefill path (_context_units_and_embeds) bit-for-bit
+        dtype = self.model.policy.compute_dtype
+        out = jnp.concatenate([p.astype(dtype) for p in parts], axis=1)
+        return jnp.pad(out, [(0, 0), (0, width - out.shape[1]), (0, 0)])
 
     def get_context_emb(self, conv: Conversation, img_list: List) -> jnp.ndarray:
         return self._context_units_and_embeds(conv, img_list)[1]
@@ -182,10 +281,12 @@ class Chat:
             top_p=kwargs.get("top_p", 0.9),
             temperature=kwargs.get("temperature", 1.0),
         )
-        units, embeds = self._context_units_and_embeds(conv, img_list)
         if self.incremental:
-            tokens = self._incremental_generate(llama, cfg, units, embeds)
+            # host-only tokenize; only the turn's prompt DELTA is embedded
+            units, _ = self._context_units(conv, img_list)
+            tokens = self._incremental_generate(llama, cfg, units, img_list)
         else:
+            _, embeds = self._context_units_and_embeds(conv, img_list)
             tokens = greedy_generate(
                 llama, {"params": self.model.params["llama"]}, embeds,
                 config=cfg, cache_dtype=self._cache_dtype(),
@@ -196,16 +297,25 @@ class Chat:
         return text, np.asarray(tokens)
 
     def _cache_dtype(self):
-        """Serving KV dtype: follows the arch knob (int8 halves the cache
-        and streams at int8 width; same rule as Myriad.generate)."""
-        return ("int8" if self.model.arch.llama.kv_cache_dtype == "int8"
-                else self.model.policy.compute_dtype)
+        """Serving KV dtype: the same rule as Myriad.generate and bench."""
+        from myriad_tpu.models.llama import serving_cache_dtype
 
-    def _incremental_generate(self, llama, cfg, units: List[int],
-                              embeds: jnp.ndarray) -> jnp.ndarray:
+        return serving_cache_dtype(self.model.arch.llama,
+                                   self.model.policy.compute_dtype)
+
+    def _incremental_generate(self, llama, cfg, units: List,
+                              img_list: List) -> jnp.ndarray:
         """Prefill only the prompt delta since the last turn (the cached
         unit sequence), decode from the resident cache, and keep the
-        post-prefill cache for the next turn."""
+        post-prefill cache for the next turn.
+
+        The delta is right-padded to a DELTA_PAD multiple and the true
+        width rides as a traced ``valid_len``, so the compiled-program
+        count is bounded by the padded-width buckets instead of one
+        program per turn (pad K/V land past the rewound write frontier,
+        which every causal mask excludes — continue_generate docstring).
+        Only the delta's units are embedded (_embed_units) — a text-only
+        turn costs one device dispatch however long the history is."""
         import jax
 
         from myriad_tpu.generation import _round_up, continue_generate
@@ -219,30 +329,41 @@ class Chat:
                 break
             common += 1
         bucket = _round_up(total + cfg.max_new_tokens, 256)
-        if self._cache is None or bucket != self._bucket or common != self._frontier:
+        if (self._cache is None or bucket != self._bucket
+                or common != self._frontier or total <= self._frontier):
             # Re-prefill from scratch on: fresh conversation, bucket growth
             # (copy-on-grow isn't worth the extra program; growth happens
-            # every 256 tokens at most), or a prompt that diverged inside
-            # the cached region (tokenizer seam / edited history).  A
-            # partial rollback would be unsound when the new prompt is
-            # SHORTER than the old frontier: stale slots between the new
-            # total and the old frontier sit at positions the causal mask
-            # admits.
+            # every 256 tokens at most), a prompt that diverged inside
+            # the cached region (tokenizer seam / edited history), or a
+            # prompt that did not GROW past the frontier (a repeated or
+            # shortened conversation — e.g. a second fresh conv on the
+            # same Chat — has no delta to prefill).  A partial rollback
+            # would be unsound when the new prompt is SHORTER than the
+            # old frontier: stale slots between the new total and the old
+            # frontier sit at positions the causal mask admits.
             self._cache = init_cache(llama.config, 1, bucket,
                                      self._cache_dtype())
             self._bucket = bucket
             common = 0
-        delta = embeds[:, common:]
-        assert delta.shape[1] > 0, "conversation prompt did not grow"
-        key = (delta.shape[1], self._bucket, cfg)
+        valid = total - common
+        assert valid > 0, "conversation prompt did not grow"
+        self._delta_log.append(valid)
+        # pad width is capped so the prefill writes stay inside the bucket
+        # (dynamic_update_slice would clamp-and-corrupt otherwise); the
+        # bucket always fits the true delta + max_new_tokens by
+        # construction, so the cap never cuts below `valid`
+        width = min(-(-valid // self.DELTA_PAD) * self.DELTA_PAD,
+                    self._bucket - common)
+        delta = self._embed_units(units[common:], img_list, width)
+        key = ("gen", width, self._bucket, cfg)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
-                lambda params, d, c, r: continue_generate(
-                    llama, params, d, c, config=cfg, rng=r)
+                lambda params, d, c, v, r: continue_generate(
+                    llama, params, d, c, config=cfg, valid_len=v, rng=r)
             )
         tokens, self._cache = self._jit_cache[key](
             {"params": self.model.params["llama"]}, delta, self._cache,
-            jax.random.PRNGKey(0),
+            jnp.int32(valid), jax.random.PRNGKey(0),
         )
         self._frontier = total
         self._units = list(units)

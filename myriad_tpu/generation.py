@@ -140,6 +140,60 @@ def _select_token(logits: jnp.ndarray, cfg: GenerationConfig, rng) -> jnp.ndarra
     return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
 
 
+def _decode_loop(model, params, cfg: GenerationConfig, last, cache, rng,
+                 stages):
+    """The shared greedy/sampled decode while-loop.
+
+    ``stages``: list of ``(kv_limit, stage_end)`` — each pair runs one
+    ``lax.while_loop`` whose body attends only over cache positions
+    < ``kv_limit`` (None = the full bucket) until ``step == stage_end``.
+    Loop step s writes the cache at its current frontier and attends over
+    everything written so far, so a stage is token-exact whenever its
+    write frontier stays below ``kv_limit`` (staged decode partitions the
+    steps at cache_granularity boundaries on that invariant).  Stop
+    handling matches the reference protocol ('###' single/pair ids, rows
+    finish independently, finished rows emit pad).  Returns
+    ``(tokens, cache)`` with decode-time cache writes included.
+    """
+    b = last.shape[0]
+
+    def make_body(kv_limit):
+        def body(state):
+            step, last, done, cache, tokens, rng = state
+            tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
+            embeds = model.apply(params, last[:, None], method=LlamaForCausalLM.embed)
+            logits, cache = model.apply(params, embeds, cache=cache,
+                                        kv_limit=kv_limit)
+            rng, sub = jax.random.split(rng)
+            nxt = _select_token(logits[:, -1].astype(jnp.float32), cfg, sub)
+            stopped = (
+                (nxt == cfg.eos_token_id)
+                | (nxt == cfg.stop_single)
+                | ((last == cfg.stop_pair[0]) & (nxt == cfg.stop_pair[1]))
+            )
+            done = done | stopped
+            return step + 1, nxt, done, cache, tokens, rng
+
+        return body
+
+    def make_cond(stage_end):
+        def cond(state):
+            step, _, done, _, _, _ = state
+            return jnp.logical_and(step < stage_end, ~jnp.all(done))
+
+        return cond
+
+    tokens = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
+    done0 = (last == cfg.eos_token_id) | (last == cfg.stop_single)
+    state = (jnp.int32(0), last, done0, cache, tokens, rng)
+    for kv_limit, stage_end in stages:
+        state = jax.lax.while_loop(make_cond(stage_end), make_body(kv_limit),
+                                   state)
+    step, last, done, cache, tokens, rng = state
+    tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
+    return tokens, cache
+
+
 def greedy_generate(
     model: LlamaForCausalLM,
     params,
@@ -165,52 +219,18 @@ def greedy_generate(
     last = _select_token(logits[:, -1].astype(jnp.float32), cfg, rng)
 
     # --- decode loop ------------------------------------------------------
-    # loop step s writes the cache at position p+s and attends over
-    # positions <= p+s, so it needs kv coverage of exactly p+s+1 slots;
     # staged decode partitions the steps at cache_granularity boundaries
     # and runs each span with a static kv_limit (llama.py slices the cache
     # reads; every excluded position is mask-dead, tokens unchanged).
-    def make_body(kv_limit):
-        def body(state):
-            step, last, prev, done, cache, tokens, rng = state
-            tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
-            embeds = model.apply(params, last[:, None], method=LlamaForCausalLM.embed)
-            logits, cache = model.apply(params, embeds, cache=cache,
-                                        kv_limit=kv_limit)
-            rng, sub = jax.random.split(rng)
-            nxt = _select_token(logits[:, -1].astype(jnp.float32), cfg, sub)
-            stopped = (
-                (nxt == cfg.eos_token_id)
-                | (nxt == cfg.stop_single)
-                | ((last == cfg.stop_pair[0]) & (nxt == cfg.stop_pair[1]))
-            )
-            done = done | stopped
-            return step + 1, nxt, last, done, cache, tokens, rng
-
-        return body
-
-    def make_cond(stage_end):
-        def cond(state):
-            step, _, _, done, _, _, _ = state
-            return jnp.logical_and(step < stage_end, ~jnp.all(done))
-
-        return cond
-
     if cfg.staged_decode:
         g = cfg.cache_granularity
         limits = list(range(_round_up(p + 2, g), max_len + 1, g)) or [max_len]
         limits[-1] = max_len
     else:
         limits = [max_len]
+    stages = [(lim, min(lim - p, cfg.max_new_tokens - 1)) for lim in limits]
 
-    tokens = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
-    done0 = (last == cfg.eos_token_id) | (last == cfg.stop_single)
-    state = (jnp.int32(0), last, jnp.full((b,), -1, jnp.int32), done0, cache, tokens, rng)
-    for lim in limits:
-        stage_end = min(lim - p, cfg.max_new_tokens - 1)
-        state = jax.lax.while_loop(make_cond(stage_end), make_body(lim), state)
-    step, last, prev, done, cache, tokens, rng = state
-    tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
+    tokens, _ = _decode_loop(model, params, cfg, last, cache, rng, stages)
     return tokens
 
 
@@ -222,6 +242,7 @@ def continue_generate(
     *,
     config: Optional[GenerationConfig] = None,
     rng: Optional[jax.Array] = None,
+    valid_len: Optional[jax.Array] = None,
 ):
     """Generate from a cache that already holds earlier-prompt KV.
 
@@ -233,6 +254,16 @@ def continue_generate(
     Per turn, prefill cost drops from O(full history) to O(new segment);
     the reference re-runs HF generate over the entire concatenated
     conversation every turn (conversation.py:215-229).
+
+    ``valid_len`` (traced int scalar) marks the first ``valid_len`` columns
+    of ``new_embeds`` as the real delta and the rest as right-padding, so
+    one compiled program serves every turn whose delta fits the padded
+    width: the first token reads the logits at column valid_len-1, and the
+    write frontier rewinds to start+valid_len so decode overwrites the pad
+    slots before the causal mask ever admits them (pad K/V land at slots
+    >= the rewound frontier, which every mask excludes until they are
+    overwritten).  Requires prefill_chunks == 1 (the valid column must be
+    in the one logits chunk).
 
     Returns ``(tokens, prompt_cache)`` where ``prompt_cache`` is the cache
     AFTER the prefill but BEFORE any decode writes: its frontier marks the
@@ -249,35 +280,26 @@ def continue_generate(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     b = new_embeds.shape[0]
     assert cache[0]["k"].shape[0] == b, "cache batch mismatch"
-
-    logits, cache = _prefill(model, params, new_embeds, cache,
-                             cfg.prefill_chunks)
+    if valid_len is not None:
+        assert _chunk_count(new_embeds.shape[1], cfg.prefill_chunks) == 1, (
+            "valid_len needs a single-chunk prefill (the valid column's "
+            "hidden state must be in the one prefill call)")
+        vl = jnp.asarray(valid_len, jnp.int32)
+        start = cache[0]["index"]
+        logits, cache = model.apply(params, new_embeds, cache=cache,
+                                    last_index=vl - 1,
+                                    method=LlamaForCausalLM.prefill)
+        last_logits = logits[:, -1]
+        cache = tuple(dict(c, index=start + vl) for c in cache)
+    else:
+        logits, cache = _prefill(model, params, new_embeds, cache,
+                                 cfg.prefill_chunks)
+        last_logits = logits[:, -1]
     prompt_cache = cache
-    last = _select_token(logits[:, -1].astype(jnp.float32), cfg, rng)
+    last = _select_token(last_logits.astype(jnp.float32), cfg, rng)
 
-    def body(state):
-        step, last, done, cache, tokens, rng = state
-        tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
-        embeds = model.apply(params, last[:, None], method=LlamaForCausalLM.embed)
-        logits, cache = model.apply(params, embeds, cache=cache)
-        rng, sub = jax.random.split(rng)
-        nxt = _select_token(logits[:, -1].astype(jnp.float32), cfg, sub)
-        stopped = (
-            (nxt == cfg.eos_token_id)
-            | (nxt == cfg.stop_single)
-            | ((last == cfg.stop_pair[0]) & (nxt == cfg.stop_pair[1]))
-        )
-        return step + 1, nxt, done | stopped, cache, tokens, rng
-
-    def cond(state):
-        step, _, done, _, _, _ = state
-        return jnp.logical_and(step < cfg.max_new_tokens - 1, ~jnp.all(done))
-
-    tokens = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
-    done0 = (last == cfg.eos_token_id) | (last == cfg.stop_single)
-    state = (jnp.int32(0), last, done0, cache, tokens, rng)
-    step, last, done, cache, tokens, rng = jax.lax.while_loop(cond, body, state)
-    tokens = tokens.at[:, step].set(jnp.where(done, cfg.pad_token_id, last))
+    stages = [(None, cfg.max_new_tokens - 1)]
+    tokens, _ = _decode_loop(model, params, cfg, last, cache, rng, stages)
     return tokens, prompt_cache
 
 

@@ -505,15 +505,25 @@ class LlamaForCausalLM(nn.Module):
         inputs_embeds: jnp.ndarray,
         attention_mask: Optional[jnp.ndarray] = None,
         cache: Optional[Tuple[Cache, ...]] = None,
+        last_index=None,
     ):
         """Prefill returning logits for the LAST position only.
 
         Generation never reads the other positions; materializing the full
         (B, P, vocab) fp32 logits costs ~0.5 GiB + 0.5 TFLOP per 32-image
         batch at Vicuna scale for nothing.
+
+        ``last_index`` (traced int scalar) selects a different single
+        column instead — continue_generate's right-padded delta reads its
+        logits at the last VALID column, not the last pad column.
         """
         hidden, new_cache = self.model(inputs_embeds, attention_mask, cache=cache)
-        return self.logits(hidden[:, -1:]), new_cache
+        if last_index is not None:
+            hidden = jax.lax.dynamic_slice_in_dim(
+                hidden, jnp.asarray(last_index, jnp.int32), 1, axis=1)
+        else:
+            hidden = hidden[:, -1:]
+        return self.logits(hidden), new_cache
 
     def __call__(
         self,
@@ -544,6 +554,14 @@ def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     scale = jnp.maximum(amax / 127.0, 1e-8)
     x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
     return x8, scale.astype(jnp.float32)
+
+
+def serving_cache_dtype(config: LlamaConfig, compute_dtype):
+    """The serving KV dtype rule: int8 when the arch knob asks for it
+    (halves the cache and streams it at int8 width), else the compute
+    dtype.  The single source of truth for Myriad.generate, Chat, and
+    bench — a new cache dtype only needs wiring here."""
+    return "int8" if config.kv_cache_dtype == "int8" else compute_dtype
 
 
 def init_cache(config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> Tuple[Cache, ...]:

@@ -42,7 +42,8 @@ from myriad_tpu.models.base import BaseModel
 from myriad_tpu.models.eva_vit import EvaViT
 from myriad_tpu.models.imagebind import ImageBindConfig
 from myriad_tpu.models.layers import Dtype, LayerNormFp32, Policy
-from myriad_tpu.models.llama import LlamaConfig, LlamaForCausalLM, lm_cross_entropy
+from myriad_tpu.models.llama import (LlamaConfig, LlamaForCausalLM,
+                                     lm_cross_entropy, serving_cache_dtype)
 from myriad_tpu.models.networks import LoraAdaptorV2, VEInstructorV2, VETokenizer
 from myriad_tpu.models.qformer import QFormer
 from myriad_tpu.models.vision_expert import AnomalyExpertModule, VisionExpert
@@ -743,8 +744,8 @@ class Myriad(BaseModel):
             add_bos = self.bos_at_generate
             llama = LlamaForCausalLM(self.arch.llama, self.policy.compute_dtype,
                                      self.policy.param_dtype)
-            cache_dtype = ("int8" if self.arch.llama.kv_cache_dtype == "int8"
-                           else self.policy.compute_dtype)
+            cache_dtype = serving_cache_dtype(self.arch.llama,
+                                              self.policy.compute_dtype)
             decode = self._decode_fn(llama, gen_cfg, cache_dtype,
                                      self._spec_lookup_ids(after))
 
@@ -800,8 +801,8 @@ class Myriad(BaseModel):
             add_bos = self.bos_at_generate
             llama = LlamaForCausalLM(self.arch.llama, self.policy.compute_dtype,
                                      self.policy.param_dtype)
-            cache_dtype = ("int8" if self.arch.llama.kv_cache_dtype == "int8"
-                           else self.policy.compute_dtype)
+            cache_dtype = serving_cache_dtype(self.arch.llama,
+                                              self.policy.compute_dtype)
             decode = self._decode_fn(llama, gen_cfg, cache_dtype,
                                      self._spec_lookup_ids(after))
 

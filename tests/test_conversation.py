@@ -71,10 +71,80 @@ def test_chat_incremental_matches_full_reprefill():
         assert ti == tf, f"turn {turn} text diverged"
         np.testing.assert_array_equal(ki, kf, err_msg=f"turn {turn}")
     # the cache was genuinely reused: every turn after the first prefilled
-    # only its prompt delta (jit keys record the per-call prefill widths)
-    deltas = sorted(k[0] for k in chat_inc._jit_cache)
+    # only its (true, unpadded) prompt delta
+    deltas = chat_inc._delta_log
     assert len(deltas) == len(questions)
-    assert deltas[0] < chat_inc._frontier, "later turns re-prefilled everything"
+    assert deltas[0] == chat_inc._frontier - sum(deltas[1:])  # first = full
+    assert all(d < chat_inc._frontier for d in deltas[1:]), (
+        "later turns re-prefilled everything")
+    # delta padding bounds the compiled-program count: the short per-turn
+    # deltas share one padded width instead of one program per turn
+    gen_keys = [k for k in chat_inc._jit_cache if k[0] == "gen"]
+    assert len(gen_keys) < len(questions)
+
+
+def test_chat_incremental_fresh_conversation_same_prompt():
+    """A second fresh conversation with the IDENTICAL prompt (same image,
+    same question — the demo-restart flow) must not crash on a zero-width
+    delta: the prompt does not grow past the cached frontier, so the chat
+    falls back to a full re-prefill and answers identically."""
+    model = Myriad(arch=MyriadArch.tiny(), use_ve=False, policy=Policy.fp32(),
+                   max_txt_len=16, end_sym="###")
+    proc = LocImageTrainProcessor(identity=True)
+    rng = np.random.default_rng(7)
+    image = rng.integers(0, 255, (28, 28, 3), dtype=np.uint8)
+    chat = Chat(model, proc)
+
+    def one_conversation():
+        conv = CONV_VISION.copy()
+        img_list = []
+        chat.upload_img(image, conv, img_list)
+        chat.ask("Is there any defect?", conv)
+        return chat.answer(conv, img_list, max_new_tokens=4)
+
+    t1, k1 = one_conversation()
+    t2, k2 = one_conversation()  # crashed before the total>frontier guard
+    assert t1 == t2
+    np.testing.assert_array_equal(k1, k2)
+
+
+def test_chat_incremental_replaced_image_not_reused():
+    """Replacing an img_list entry between turns (re-encoded / edited
+    image) with UNCHANGED conversation text must not silently reuse the
+    old image's cached KV: the embed-serial units force a re-prefill and
+    the transcript matches the full re-prefill of the new image."""
+    model = Myriad(arch=MyriadArch.tiny(), use_ve=False, policy=Policy.fp32(),
+                   max_txt_len=16, end_sym="###")
+    proc = LocImageTrainProcessor(identity=True)
+    rng = np.random.default_rng(8)
+    imgs = [rng.integers(0, 255, (28, 28, 3), dtype=np.uint8) for _ in range(2)]
+
+    def run(incremental, swap):
+        chat = Chat(model, proc, incremental=incremental)
+        conv = CONV_VISION.copy()
+        img_list = []
+        chat.upload_img(imgs[0], conv, img_list)
+        chat.ask("Any defect?", conv)
+        out = [chat.answer(conv, img_list, max_new_tokens=4)]
+        if swap:  # same prompt text, new image content in the same slot
+            stash = []
+            chat.upload_img(imgs[1], conv, stash)
+            conv.messages.pop()  # upload_img's prompt line: keep text equal
+            img_list[0] = stash[0]
+        chat.ask("Where?", conv)
+        out.append(chat.answer(conv, img_list, max_new_tokens=4))
+        return chat, out
+
+    chat_inc, inc = run(True, swap=True)
+    _, full = run(False, swap=True)
+    for turn, ((ti, ki), (tf, kf)) in enumerate(zip(inc, full)):
+        assert ti == tf, f"turn {turn} text diverged"
+        np.testing.assert_array_equal(ki, kf, err_msg=f"turn {turn}")
+    # the swap was detected: turn 2 re-prefilled the FULL prompt (its delta
+    # equals the final frontier) instead of extending the stale-image prefix
+    assert chat_inc._delta_log[1] == chat_inc._frontier
+    chat_ns, _ = run(True, swap=False)
+    assert chat_ns._delta_log[1] < chat_ns._frontier  # no swap -> reuse
 
 
 def test_chat_multi_image_incremental():

@@ -38,3 +38,10 @@ probe pallas --impl pallas
 probe xla --impl xla
 probe two_stream --impl pallas2
 probe pallas_4m --impl pallas --block 1024
+
+# 8. chat serving latency: incremental KV-cache turns vs full re-prefill
+#    (also asserts transcript equality of the two paths on device)
+echo "=== chatprobe ===" | tee -a "$OUT/summary.log"
+timeout 3600 python tools/chatprobe.py --turns 5 --max-new 60 \
+  > "$OUT/chatprobe.log" 2>&1
+tail -4 "$OUT/chatprobe.log" | tee -a "$OUT/summary.log"
