@@ -76,10 +76,18 @@ class Chat:
     # remote TPU — far more than the prefill it saves)
     DELTA_PAD = 64
 
-    def __init__(self, model, vis_processor, incremental: bool = True):
+    def __init__(self, model, vis_processor, incremental: bool = True,
+                 spec_k: Optional[int] = None):
         self.model = model
         self.vis_processor = vis_processor
         self.incremental = incremental
+        # speculative decoding for incremental turns: verify spec_k
+        # prompt-lookup-drafted tokens per weight pass (transcript-exact;
+        # chat answers often echo conversation phrasing, so the history
+        # corpus drafts well).  None = follow the model's llm_spec_k knob;
+        # 0 disables.  Engages only on the greedy path (do_sample False,
+        # or the reference's effectively-greedy top_p<=0.01).
+        self.spec_k = spec_k
         # incremental-mode state: device KV cache holding the prompt prefix,
         # its write frontier, and the flattened token "units" it covers
         # (text ids >= 0; image i's columns as ("img", i, serial) tuples)
@@ -87,7 +95,11 @@ class Chat:
         self._frontier = 0
         self._units: List = []
         self._bucket = 0
-        self._jit_cache: Dict = {}
+        # compiled programs are MODEL-level state (they close over nothing
+        # conversation-specific: arch/policy/cfg/shape only), shared across
+        # Chat instances so a fresh conversation never re-traces
+        self._jit_cache: Dict = model.__dict__.setdefault(
+            "_chat_jit_cache", {})
         # embedding-object serial numbers: a unit must identify the image
         # CONTENT, not just its list slot, or swapping an img_list entry
         # between turns would silently reuse KV from the old image.  Each
@@ -303,6 +315,17 @@ class Chat:
         return serving_cache_dtype(self.model.arch.llama,
                                    self.model.policy.compute_dtype)
 
+    def _spec_k(self, cfg) -> int:
+        """Effective speculation depth for this turn: the Chat override or
+        the model's llm_spec_k knob, and only when decoding is greedy
+        (speculation is greedy-only; top_p<=0.01 is the reference's
+        effectively-greedy sampling, same routing as Myriad.generate)."""
+        k = self.spec_k
+        if k is None:
+            k = int(getattr(self.model, "spec_k", 0) or 0)
+        greedy = (not cfg.do_sample) or cfg.top_p <= 0.01
+        return k if (k >= 1 and greedy) else 0
+
     def _incremental_generate(self, llama, cfg, units: List,
                               img_list: List) -> jnp.ndarray:
         """Prefill only the prompt delta since the last turn (the cached
@@ -318,9 +341,11 @@ class Chat:
         turn costs one device dispatch however long the history is."""
         import jax
 
-        from myriad_tpu.generation import _round_up, continue_generate
+        from myriad_tpu.generation import (_round_up, continue_generate,
+                                           speculative_generate)
         from myriad_tpu.models.llama import init_cache
 
+        spec_k = self._spec_k(cfg)
         total = len(units)
         # longest cached prefix this prompt still agrees with
         common = 0
@@ -328,7 +353,10 @@ class Chat:
             if a != b:
                 break
             common += 1
-        bucket = _round_up(total + cfg.max_new_tokens, 256)
+        # spec verify rounds write up to spec_k+1 positions past an active
+        # row's frontier — the bucket carries that slack
+        bucket = _round_up(
+            total + cfg.max_new_tokens + (spec_k + 1 if spec_k else 0), 256)
         if (self._cache is None or bucket != self._bucket
                 or common != self._frontier or total <= self._frontier):
             # Re-prefill from scratch on: fresh conversation, bucket growth
@@ -355,16 +383,39 @@ class Chat:
         width = min(-(-valid // self.DELTA_PAD) * self.DELTA_PAD,
                     self._bucket - common)
         delta = self._embed_units(units[common:], img_list, width)
-        key = ("gen", width, self._bucket, cfg)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda params, d, c, v, r: continue_generate(
-                    llama, params, d, c, config=cfg, valid_len=v, rng=r)
+        if spec_k:
+            # prompt-lookup corpus = the conversation's own text tokens,
+            # padded to a 256 bucket with an impossible id so the filled
+            # length stays out of the jit key (passed as a traced arg —
+            # never baked into the program)
+            text_ids = [u for u in units if not isinstance(u, tuple)]
+            lk_w = _round_up(max(len(text_ids), 1), 256)
+            lookup = jnp.asarray(
+                [text_ids + [-3] * (lk_w - len(text_ids))], jnp.int32)
+            spec_cfg = dataclasses.replace(cfg, do_sample=False)
+            key = ("spec", width, self._bucket, spec_cfg, spec_k, lk_w)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    lambda params, d, c, v, lk: speculative_generate(
+                        llama, params, d, config=spec_cfg, spec_k=spec_k,
+                        lookup_ids=lk, cache=c, valid_len=v,
+                        return_cache=True)
+                )
+            tokens, self._cache = self._jit_cache[key](
+                {"params": self.model.params["llama"]}, delta, self._cache,
+                jnp.int32(valid), lookup,
             )
-        tokens, self._cache = self._jit_cache[key](
-            {"params": self.model.params["llama"]}, delta, self._cache,
-            jnp.int32(valid), jax.random.PRNGKey(0),
-        )
+        else:
+            key = ("gen", width, self._bucket, cfg)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    lambda params, d, c, v, r: continue_generate(
+                        llama, params, d, c, config=cfg, valid_len=v, rng=r)
+                )
+            tokens, self._cache = self._jit_cache[key](
+                {"params": self.model.params["llama"]}, delta, self._cache,
+                jnp.int32(valid), jax.random.PRNGKey(0),
+            )
         self._frontier = total
         self._units = list(units)
         return tokens

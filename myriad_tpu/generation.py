@@ -314,6 +314,9 @@ def speculative_generate(
     oracle_drafts: Optional[jnp.ndarray] = None,
     cache_dtype=jnp.bfloat16,
     return_stats: bool = False,
+    cache=None,
+    valid_len: Optional[jax.Array] = None,
+    return_cache: bool = False,
 ) -> jnp.ndarray:
     """Greedy generation with self-speculative decoding — transcript-exact.
 
@@ -337,22 +340,56 @@ def speculative_generate(
     ``rounds`` (verify weight passes) — acceptance rate =
     accepted/drafted, the number that places real serving between the
     n-gram floor and the oracle bound (BENCH_NOTES acceptance curve).
+
+    Continuation mode (incremental chat): pass ``cache`` holding
+    earlier-prompt KV and ``inputs_embeds`` as the new prompt delta —
+    optionally right-padded with its true width in ``valid_len``, exactly
+    like ``continue_generate`` — and the spec loop decodes from the
+    resident prefix.  ``return_cache=True`` additionally returns the
+    post-prefill/pre-decode cache for the next turn.  The caller's bucket
+    must hold frontier + T_new + max_new + spec_k + 1 (a verify round
+    writes K+1 positions past an active row's frontier; the fresh-cache
+    path sizes this in automatically).
     """
     cfg = config or GenerationConfig()
     assert not cfg.do_sample, "speculative decoding is greedy-only"
     K = int(spec_k)
     assert K >= 1
-    b, p, _ = inputs_embeds.shape
+    b, t_in, _ = inputs_embeds.shape
     max_new = cfg.max_new_tokens
-    max_len = _round_up(p + max_new + K + 1, cfg.cache_granularity)
-    cache = init_cache(model.config, b, max_len, cache_dtype)
 
-    # --- prefill (scalar write index, rows aligned) -----------------------
-    logits, cache = _prefill(model, params, inputs_embeds, cache,
-                             cfg.prefill_chunks)
+    if cache is None:
+        p = t_in  # static: enables staged spec limits
+        max_len = _round_up(p + max_new + K + 1, cfg.cache_granularity)
+        cache = init_cache(model.config, b, max_len, cache_dtype)
+        # --- prefill (scalar write index, rows aligned) -------------------
+        logits, cache = _prefill(model, params, inputs_embeds, cache,
+                                 cfg.prefill_chunks)
+        start = jnp.int32(p)
+        prompt_cache = None
+    else:
+        assert cache[0]["k"].shape[0] == b, "cache batch mismatch"
+        p = None  # dynamic frontier: unstaged only
+        max_len = cache[0]["k"].shape[2]
+        start0 = jnp.asarray(cache[0]["index"], jnp.int32)
+        if valid_len is not None:
+            assert _chunk_count(t_in, cfg.prefill_chunks) == 1, (
+                "valid_len needs a single-chunk prefill")
+            vl = jnp.asarray(valid_len, jnp.int32)
+            logits, cache = model.apply(params, inputs_embeds, cache=cache,
+                                        last_index=vl - 1,
+                                        method=LlamaForCausalLM.prefill)
+            start = start0 + vl
+        else:
+            logits, cache = _prefill(model, params, inputs_embeds, cache,
+                                     cfg.prefill_chunks)
+            start = start0 + t_in
+        cache = tuple(dict(c, index=start) for c in cache)
+        prompt_cache = cache
     last = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(jnp.int32)
     # switch to per-row write indices for ragged acceptance
-    cache = tuple(dict(c, index=jnp.full((b,), p, jnp.int32)) for c in cache)
+    start_rows = jnp.zeros((b,), jnp.int32) + start
+    cache = tuple(dict(c, index=start_rows) for c in cache)
 
     buf_len = max_new + K + 1  # slack so the last window never clips
     tokens = jnp.full((b, buf_len), cfg.pad_token_id, jnp.int32)
@@ -369,7 +406,7 @@ def speculative_generate(
 
     done0 = (last == cfg.eos_token_id) | (last == cfg.stop_single)
     state = dict(
-        length=jnp.full((b,), p, jnp.int32),   # valid context fed so far
+        length=start_rows,                     # valid context fed so far
         n_emit=jnp.zeros((b,), jnp.int32),     # output tokens written
         last=last,
         prev=jnp.full((b,), -1, jnp.int32),    # token before `last` (2-gram)
@@ -495,7 +532,8 @@ def speculative_generate(
     # re-measurement on runtime updates.
     import os
 
-    if cfg.staged_decode and os.environ.get("MYRIAD_SPEC_STAGED") == "1":
+    if (cfg.staged_decode and os.environ.get("MYRIAD_SPEC_STAGED") == "1"
+            and p is not None):  # staged spans need a static frontier
         g = cfg.cache_granularity
         limits = list(range(_round_up(p + K + 2, g), max_len + 1, g)) or [max_len]
         limits[-1] = max_len
@@ -510,9 +548,9 @@ def speculative_generate(
         st = jax.lax.while_loop(make_cond(max_rounds), make_body(lim), st)
     out = st["tokens"][:, :max_new]
     if return_stats:
-        return out, {"accepted": st["accepted"], "drafted": st["drafted"],
-                     "rounds": st["rounds"]}
-    return out
+        out = (out, {"accepted": st["accepted"], "drafted": st["drafted"],
+                     "rounds": st["rounds"]})
+    return (out, prompt_cache) if return_cache else out
 
 
 def decode_stop_trimmed(token_rows, tokenizer, cfg: Optional[GenerationConfig] = None):

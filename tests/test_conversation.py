@@ -175,6 +175,39 @@ def test_chat_multi_image_incremental():
         np.testing.assert_array_equal(ki, kf, err_msg=f"turn {turn}")
 
 
+def test_chat_incremental_speculative_exact():
+    """Speculative incremental chat (verify K prompt-lookup drafts per
+    weight pass from the resident cache) must be transcript-identical to
+    the plain greedy incremental path across turns — at ANY acceptance
+    rate, including the ~0% a random tiny model yields."""
+    model = Myriad(arch=MyriadArch.tiny(), use_ve=False, policy=Policy.fp32(),
+                   max_txt_len=16, end_sym="###")
+    proc = LocImageTrainProcessor(identity=True)
+    rng = np.random.default_rng(9)
+    image = rng.integers(0, 255, (28, 28, 3), dtype=np.uint8)
+    questions = ["Any defect?", "Where is it located?"]
+
+    def run(spec_k):
+        chat = Chat(model, proc, incremental=True, spec_k=spec_k)
+        conv = CONV_VISION.copy()
+        img_list = []
+        chat.upload_img(image, conv, img_list)
+        out = []
+        for q in questions:
+            chat.ask(q, conv)
+            out.append(chat.answer(conv, img_list, max_new_tokens=6))
+        return chat, out
+
+    _, greedy = run(0)
+    chat_spec, spec = run(2)
+    for turn, ((tg, kg), (ts, ks)) in enumerate(zip(greedy, spec)):
+        assert tg == ts, f"turn {turn} text diverged"
+        np.testing.assert_array_equal(kg, ks, err_msg=f"turn {turn}")
+    # the spec path really ran speculative programs AND reused the prefix
+    assert any(k[0] == "spec" for k in chat_spec._jit_cache)
+    assert chat_spec._delta_log[1] < chat_spec._frontier
+
+
 def test_chat_incremental_int8_kv():
     """Incremental chat picks the serving int8 KV cache dtype from the arch
     and stays token-identical to the full re-prefill there too."""

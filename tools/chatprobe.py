@@ -43,6 +43,11 @@ def main():
     p.add_argument("--max-new", type=int, default=60)
     p.add_argument("--quant", default="int8", choices=["none", "int8"])
     p.add_argument("--kv", default="int8", choices=["bf16", "int8"])
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="additionally time an incremental chat with "
+                        "speculative decoding (verify K prompt-lookup "
+                        "drafts per weight pass; transcript equality vs "
+                        "the greedy paths asserted)")
     args = p.parse_args()
 
     import jax
@@ -92,9 +97,9 @@ def main():
                          dtype=np.uint8)
     questions = (QUESTIONS * (-(-args.turns // len(QUESTIONS))))[: args.turns]
 
-    def run(incremental):
+    def run(incremental, spec_k=0):
         chat = Chat(model, LocImageTrainProcessor(identity=True),
-                    incremental=incremental)
+                    incremental=incremental, spec_k=spec_k)
         conv = CONV_VISION.copy()
         img_list = []
         chat.upload_img(image, conv, img_list)
@@ -108,24 +113,29 @@ def main():
             texts.append(text)
         return times, texts
 
-    # warm both paths' compiles on turn-1 shapes, then measure fresh chats
+    # warm each path's compiles on turn-1 shapes, then measure fresh chats
+    variants = [("incremental", dict(incremental=True)),
+                ("full-reprefill", dict(incremental=False))]
+    if args.spec:
+        variants.insert(1, (f"incremental+spec{args.spec}",
+                            dict(incremental=True, spec_k=args.spec)))
     transcripts = {}
-    for inc in (True, False):
-        label = "incremental" if inc else "full-reprefill"
+    for label, kw in variants:
         t_compile = time.time()
-        times, texts = run(inc)
+        times, texts = run(**kw)
         print(f"[chatprobe] {label}: cold run {time.time()-t_compile:.1f}s "
               f"(includes compiles)", file=sys.stderr)
-        times, texts2 = run(inc)
+        times, texts2 = run(**kw)
         assert texts == texts2, "warm run diverged from cold run"
-        transcripts[inc] = texts
+        transcripts[label] = texts
         per = " ".join(f"{t:.2f}" for t in times)
         print(f"{label}: turns [{per}] s; total {sum(times):.2f}s; "
               f"steady (last {max(1, len(times)-1)}) "
               f"{sum(times[1:]) / max(1, len(times)-1):.2f}s/turn")
-    assert transcripts[True] == transcripts[False], (
-        "incremental transcripts diverged from full re-prefill")
-    print("transcripts: incremental == full-reprefill (exact)")
+    base = transcripts["incremental"]
+    for label, texts in transcripts.items():
+        assert texts == base, f"{label} transcripts diverged"
+    print(f"transcripts: {' == '.join(transcripts)} (exact)")
 
 
 if __name__ == "__main__":

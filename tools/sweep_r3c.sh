@@ -42,6 +42,6 @@ probe pallas_4m --impl pallas --block 1024
 # 8. chat serving latency: incremental KV-cache turns vs full re-prefill
 #    (also asserts transcript equality of the two paths on device)
 echo "=== chatprobe ===" | tee -a "$OUT/summary.log"
-timeout 3600 python tools/chatprobe.py --turns 5 --max-new 60 \
+timeout 4800 python tools/chatprobe.py --turns 5 --max-new 60 --spec 3 \
   > "$OUT/chatprobe.log" 2>&1
-tail -4 "$OUT/chatprobe.log" | tee -a "$OUT/summary.log"
+tail -5 "$OUT/chatprobe.log" | tee -a "$OUT/summary.log"
