@@ -33,11 +33,7 @@ def _xla_mha(q, k, v, mask, scale, k_scale=None, v_scale=None):
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v.astype(q.dtype))
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+from myriad_tpu.ops._util import on_tpu as _on_tpu  # noqa: E402 (shared helper)
 
 
 def mha(
@@ -108,10 +104,18 @@ def mha(
         # kernel wins only once the cache is long enough to be
         # bandwidth-dominant per head (conversation mode).  It reads int8
         # KV directly, folding the per-position scales in-kernel.
+        # bh_supported additionally requires a 128-aligned bucket (an
+        # unaligned T forces a full K+V pad-copy per step — worse than
+        # XLA) and K/V blocks that fit scoped VMEM double-buffered (an
+        # oversized block fails Mosaic compilation instead of falling
+        # back).
+        from myriad_tpu.ops.decode_attention import bh_supported
+
         use_pallas = (
             _on_tpu()
             and tq == 1
             and k.shape[2] >= 2048
+            and bh_supported(k.shape[2], q.shape[3], k.dtype)
             and os.environ.get("MYRIAD_DISABLE_PALLAS", "0") != "1"
         ) or os.environ.get("MYRIAD_FORCE_PALLAS", "0") == "1"
     if use_pallas and tq != 1:
@@ -126,8 +130,22 @@ def mha(
             stacklevel=2,
         )
     if use_pallas and tq == 1:
-        from myriad_tpu.ops.decode_attention import decode_attention
+        from myriad_tpu.ops.decode_attention import (bh_supported,
+                                                     decode_attention)
 
+        if not bh_supported(k.shape[2], q.shape[3], k.dtype):
+            # forced path (bh / MYRIAD_FORCE_PALLAS): still runs via the
+            # kernel's internal padding, but be loud — an unaligned bucket
+            # pad-copies the cache per step and an oversized block can
+            # fail Mosaic compilation outright
+            import warnings
+
+            warnings.warn(
+                f"mha: Pallas decode forced but bh_supported(t={k.shape[2]}, "
+                f"d={q.shape[3]}, kv_dtype={k.dtype}) is False — expect a "
+                "per-step cache pad-copy or a Mosaic VMEM failure",
+                stacklevel=2,
+            )
         return decode_attention(q, k, v, mask=mask, scale=scale,
                                 k_scale=k_scale, v_scale=v_scale)
     return _xla_mha(q, k, v, mask, scale, k_scale, v_scale)

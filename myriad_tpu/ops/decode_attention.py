@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from myriad_tpu.ops._util import make_bh_partitioned, on_tpu, round_up as _round_up
+
 
 def _decode_kernel(q_ref, k_ref, v_ref, m_ref, ks_ref, vs_ref, o_ref, *, scale: float):
     # block shapes: q (1,1,1,D), k/v (1,1,T,D) bf16 or int8, m (1,1,1,T),
@@ -49,10 +51,6 @@ def _decode_kernel(q_ref, k_ref, v_ref, m_ref, ks_ref, vs_ref, o_ref, *, scale: 
         preferred_element_type=jnp.float32,
     )  # (1, D)
     o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _decode_rows_kernel(q_ref, k_ref, v_ref, m_ref, ks_ref, vs_ref, o_ref,
@@ -129,12 +127,8 @@ def _rows_local_call(q, k, v, mask, k_scale, v_scale, scale: float,
 @functools.lru_cache(maxsize=None)
 def _rows_partitioned(quant: bool, scale: float, interpret: bool):
     """GSPMD wrapper: the kernel is independent per (batch row, head) — the
-    head loop inside each program runs over the shard-LOCAL head count — so
-    under a (dp, tp) mesh every shard runs the kernel on its own
-    (B_loc, H_loc) block (same pattern as ops/prefill_attention.py)."""
-    from jax.experimental.custom_partitioning import custom_partitioning
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
+    head loop inside each program runs over the shard-LOCAL head count
+    (scaffold shared with ops/prefill_attention via ops._util)."""
     if quant:
         def fn(q, k, v, mask, ks, vs):
             return _rows_local_call(q, k, v, mask, ks, vs, scale, interpret)
@@ -142,39 +136,16 @@ def _rows_partitioned(quant: bool, scale: float, interpret: bool):
         def fn(q, k, v, mask):
             return _rows_local_call(q, k, v, mask, None, None, scale, interpret)
 
-    f = custom_partitioning(fn)
-
-    def _specs(mesh, q_sharding):
-        qs = q_sharding.spec if q_sharding is not None else P()
-        b_ax = qs[0] if len(qs) > 0 else None
-        h_ax = qs[1] if len(qs) > 1 else None
-        mk = lambda *spec: NamedSharding(mesh, P(*spec))
-        arg = [
-            mk(b_ax, h_ax, None, None),  # q
-            mk(b_ax, h_ax, None, None),  # k
-            mk(b_ax, h_ax, None, None),  # v
-            mk(b_ax, None, None, None),  # mask (B, 1, 1, T)
-        ]
-        if quant:
-            arg += [mk(b_ax, h_ax, None, None)] * 2  # (B, H, 1, T) scales
-        return arg, mk(b_ax, h_ax, None, None)
-
-    def infer(mesh, arg_infos, result_shape):
-        _, out = _specs(mesh, getattr(arg_infos[0], "sharding", None))
-        return out
-
-    def partition(mesh, arg_infos, result_shape):
-        args, out = _specs(mesh, getattr(arg_infos[0], "sharding", None))
-        return mesh, fn, out, tuple(args)
-
+    bh = ("b", "h", None, None)
+    arg_axes = [bh, bh, bh, ("b", None, None, None)]  # q, k, v, mask(B,1,1,T)
+    if quant:
+        arg_axes += [bh, bh]  # (B, H, 1, T) scales
     rule = (
         "b h q e, b h s e, b h s e, b i q s, b h q s, b h q s -> b h q e"
         if quant else
         "b h q e, b h s e, b h s e, b i q s -> b h q e"
     )
-    f.def_partition(infer_sharding_from_operands=infer, partition=partition,
-                    sharding_rule=rule)
-    return jax.jit(f)
+    return make_bh_partitioned(fn, tuple(arg_axes), rule)
 
 
 def _decode_rows_padded(q, k, v, mask, k_scale, v_scale, scale: float,
@@ -215,14 +186,17 @@ def decode_attention_rows(
     assert tq == 1, "decode kernel handles a single query step"
     t = k.shape[2]
     assert rows_supported(b, h, t, d, kv_dtype=k.dtype), (b, h, t, d, k.dtype)
+    assert (k_scale is None) == (v_scale is None), (
+        "int8-KV dequant needs BOTH k_scale and v_scale")
     scale = scale if scale is not None else d**-0.5
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        interpret = not on_tpu()
     if mask is None:
         mask = jnp.zeros((b, 1, 1, t), jnp.float32)
-    # per-b mask block: collapse any broadcast head dim, keep fp32
-    mask = jnp.broadcast_to(mask.astype(jnp.float32), (b, mask.shape[1], 1, t))
-    mask = mask[:, :1]
+    # the kernel applies ONE mask row to every head; a genuinely per-head
+    # mask must not be silently truncated to head 0's
+    assert mask.shape[1] == 1, "decode_attention_rows needs a head-broadcast mask"
+    mask = jnp.broadcast_to(mask.astype(jnp.float32), (b, 1, 1, t))
     ks = None if k_scale is None else jnp.swapaxes(k_scale, -1, -2).astype(jnp.float32)
     vs = None if v_scale is None else jnp.swapaxes(v_scale, -1, -2).astype(jnp.float32)
     return _decode_rows_padded(q, k, v, mask, ks, vs, float(scale),
@@ -244,7 +218,9 @@ def _decode_attention_padded(q, k, v, mask, k_scale, v_scale, scale: float,
         pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, t), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        # the mask stays (B, 1, 1, T) in HBM — every head's program reads
+        # the same row, so no H-times fp32 materialization on the hot path
+        pl.BlockSpec((1, 1, 1, t), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [q, k, v, mask]
     if quant:
@@ -264,6 +240,20 @@ def _decode_attention_padded(q, k, v, mask, k_scale, v_scale, scale: float,
     return out
 
 
+def bh_supported(t: int, d: int, kv_dtype=None) -> bool:
+    """Per-(b,h) kernel eligibility: the (1, 1, T, D) K and V blocks must
+    fit the Mosaic scoped-VMEM budget double-buffered at the cache's
+    actual width, or compilation fails at runtime instead of falling back
+    to XLA.  Also requires a pad-free bucket (T a 128-multiple): an
+    unaligned T forces a full K+V cache copy per decode step per layer —
+    on the HBM-bound hot path that silently erases the kernel's win."""
+    if t % 128 != 0 or d % 128 != 0:
+        return False
+    itemsize = 1 if kv_dtype is None else jnp.dtype(kv_dtype).itemsize
+    block_bytes = 2 * t * d * itemsize  # K + V blocks per program
+    return 2 * block_bytes <= 12 << 20  # double-buffered, under ~16M scoped
+
+
 def decode_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -276,19 +266,22 @@ def decode_attention(
     v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """q: (B, H, 1, D); k/v: (B, H, T, D) bf16 or int8 with per-position
-    dequant scales (B, H, T, 1); additive mask -> (B, H, 1, D)."""
+    dequant scales (B, H, T, 1); additive mask (head dim 1) -> (B, H, 1, D)."""
     b, h, tq, d = q.shape
     assert tq == 1, "decode kernel handles a single query step"
+    assert (k_scale is None) == (v_scale is None), (
+        "int8-KV dequant needs BOTH k_scale and v_scale")
     t = k.shape[2]
     scale = scale if scale is not None else d**-0.5
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        interpret = not on_tpu()
 
     t_pad = _round_up(t, 128)
     d_pad = _round_up(d, 128)
     if mask is None:
         mask = jnp.zeros((b, 1, 1, t), jnp.float32)
-    mask = jnp.broadcast_to(mask.astype(jnp.float32), (b, h, 1, t))
+    assert mask.shape[1] == 1, "decode_attention needs a head-broadcast mask"
+    mask = jnp.broadcast_to(mask.astype(jnp.float32), (b, 1, 1, t))
     ks = None if k_scale is None else jnp.swapaxes(k_scale, -1, -2).astype(jnp.float32)
     vs = None if v_scale is None else jnp.swapaxes(v_scale, -1, -2).astype(jnp.float32)
     if t_pad != t:

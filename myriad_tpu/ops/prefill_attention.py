@@ -29,11 +29,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from myriad_tpu.ops._util import make_bh_partitioned, on_tpu, round_up as _round_up
+
 _NEG = -1e30
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _kernel(q_ref, k_ref, v_ref, pos_ref, ks_ref, vs_ref, o_ref, *, scale,
@@ -142,9 +140,6 @@ def _local_call(q, k, v, positions, k_scale, v_scale, scale, interpret, out_dtyp
 
 @functools.lru_cache(maxsize=None)
 def _partitioned(quant: bool, scale: float, interpret: bool, out_dtype_name: str):
-    from jax.experimental.custom_partitioning import custom_partitioning
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     if quant:
         def fn(q, k, v, pos, ks, vs):
             return _local_call(q, k, v, pos, ks, vs, scale, interpret, out_dtype_name)
@@ -152,31 +147,10 @@ def _partitioned(quant: bool, scale: float, interpret: bool, out_dtype_name: str
         def fn(q, k, v, pos):
             return _local_call(q, k, v, pos, None, None, scale, interpret, out_dtype_name)
 
-    f = custom_partitioning(fn)
-
-    def _specs(mesh, q_sharding):
-        qs = q_sharding.spec if q_sharding is not None else P()
-        b_ax = qs[0] if len(qs) > 0 else None
-        h_ax = qs[1] if len(qs) > 1 else None
-        mk = lambda *spec: NamedSharding(mesh, P(*spec))
-        arg = [
-            mk(b_ax, h_ax, None, None),  # q
-            mk(b_ax, h_ax, None, None),  # k
-            mk(b_ax, h_ax, None, None),  # v
-            mk(b_ax, None),              # positions (B, Tq)
-        ]
-        if quant:
-            arg += [mk(b_ax, h_ax, None)] * 2  # (B, H, Tk) scales
-        return arg, mk(b_ax, h_ax, None, None)
-
-    def infer(mesh, arg_infos, result_shape):
-        _, out = _specs(mesh, getattr(arg_infos[0], "sharding", None))
-        return out
-
-    def partition(mesh, arg_infos, result_shape):
-        args, out = _specs(mesh, getattr(arg_infos[0], "sharding", None))
-        return mesh, fn, out, tuple(args)
-
+    bh = ("b", "h", None, None)
+    arg_axes = [bh, bh, bh, ("b", None)]  # q, k, v, positions (B, Tq)
+    if quant:
+        arg_axes += [("b", "h", None)] * 2  # (B, H, Tk) scales
     # Shardy propagation uses the einsum-like rule; the partition callback
     # then constrains T/D (and the rule's q/s/e factors) to replicated on
     # the actual lowering, inserting reshards if a caller passed them split
@@ -185,9 +159,7 @@ def _partitioned(quant: bool, scale: float, interpret: bool, out_dtype_name: str
         if quant else
         "b h q e, b h s e, b h s e, b q -> b h q e"
     )
-    f.def_partition(infer_sharding_from_operands=infer, partition=partition,
-                    sharding_rule=rule)
-    return jax.jit(f)
+    return make_bh_partitioned(fn, tuple(arg_axes), rule)
 
 
 def _call(q, k, v, positions, k_scale, v_scale, scale, interpret, out_dtype_name):
@@ -213,8 +185,10 @@ def prefill_attention(
     scales (B,H,Tk,1)); positions (B,Tq) int32 absolute query positions.
     Returns (B,H,Tq,D) in q's dtype, causal w.r.t. ``positions``."""
     b, h, tq, d = q.shape
+    assert (k_scale is None) == (v_scale is None), (
+        "int8-KV dequant needs BOTH k_scale and v_scale")
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        interpret = not on_tpu()
     tq_pad = _round_up(tq, 8)
     if tq_pad != tq:
         q = jnp.pad(q, [(0, 0), (0, 0), (0, tq_pad - tq), (0, 0)])

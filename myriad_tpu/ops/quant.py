@@ -22,6 +22,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from myriad_tpu.ops._util import on_tpu as _on_tpu, round_up
+
 
 def quantize_per_channel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-output-channel int8: w (in, out) -> (w8, scale(out,))."""
@@ -31,8 +33,7 @@ def quantize_per_channel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return w8, scale.astype(jnp.float32)
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+_round_up = round_up  # shared helper (ops/_util.py)
 
 
 @jax.custom_jvp
@@ -116,7 +117,7 @@ def int8_matmul(
     x2 = x.reshape(-1, d)
     m = x2.shape[0]
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = _on_tpu()
     if use_pallas is None:
         # pallas pays off on the decode (tiny-M) shapes where the matmul is
         # weight-bandwidth-bound; large-M prefill is compute-bound and XLA's
@@ -143,7 +144,7 @@ def int8_matmul(
     cands = [c for c in (512, 256, 128) if f % c == 0] or [128]
     while True:
         fit = [c for c in cands
-               if 2 * (tm * d * 2 + d * c + tm * c * 4) <= budget]
+               if 2 * (tm * d * x2.dtype.itemsize + d * c + tm * c * 4) <= budget]
         if fit:
             tf = fit[0]
             break
@@ -297,7 +298,7 @@ def int4_matmul(
     x2 = x.reshape(-1, d)
     m = x2.shape[0]
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = _on_tpu()
     if use_pallas is None:
         use_pallas = (on_tpu and m <= 256) or (interpret is not None and interpret)
     if not use_pallas:

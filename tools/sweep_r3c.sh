@@ -22,9 +22,12 @@ run chunks6 --prefill-chunks 6
 run spec_g16 --spec 3 --spec-oracle --batch 24 --prefill-chunks 1 --cache-granularity 16
 # 5. train batch 16 probe
 run train_b16 --mode train --batch 16
-# 6. long-KV conversation regime A/B (prefix ~2048): XLA vs auto (Pallas)
-run chat_xla --pad-prefix 1751 --batch 8 --decode-attn xla
-run chat_auto --pad-prefix 1751 --batch 8
+# 6. long-KV conversation regime A/B (prefix ~2048): XLA vs auto (Pallas).
+#    128-granular buckets so the per-(b,h) kernel engages pad-free (the
+#    auto dispatch now requires 128-aligned T — an unaligned bucket would
+#    pad-copy the whole cache per step)
+run chat_xla --pad-prefix 1751 --batch 8 --decode-attn xla --cache-granularity 128
+run chat_auto --pad-prefix 1751 --batch 8 --cache-granularity 128
 
 # 7. bandwidth-ceiling attribution: is 515 GB/s the runtime or the kernel
 #    pipeline?  xla vs pallas single-stream, and 2-stream aggregate.
