@@ -1,0 +1,164 @@
+"""Myriad front-end for the continuous-batching engine.
+
+Turns (image, question) anomaly-QA samples into LLM prompt embeddings —
+zero-/one-shot VE maps + ``encode_img`` + prompt wrap, the same chain
+``Myriad.generate`` compiles (models/myriad.py) — and streams them
+through a ``ServingEngine`` over the model's Vicuna decoder.  Where
+``Myriad.generate`` serves one fixed batch per call (the reference
+evaluation protocol, reference evaluation_aqa_dataset.py), this front-end
+serves an endpoint: requests arrive whenever, admit into free KV slots,
+and finish independently.
+
+Embedding programs are jit-cached per image/prompt shape (one program per
+shape signature, like Myriad._jit_cache); the engine bounds its own
+program count by the admission-width ladder.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myriad_tpu.generation import GenerationConfig
+from myriad_tpu.models.llama import LlamaForCausalLM, serving_cache_dtype
+from myriad_tpu.serving.engine import ServingEngine
+
+
+class MyriadServing:
+    """Continuous serving of anomaly-QA requests on a Myriad model.
+
+    Args mirror ``ServingEngine``; generation defaults (stop ids,
+    max_new_tokens, prompt handling, KV dtype) come from the wrapped
+    model so transcripts match ``Myriad.generate``'s greedy path.
+    """
+
+    def __init__(
+        self,
+        myriad,
+        *,
+        slots: int = 8,
+        bucket: Optional[int] = None,
+        segment: int = 32,
+        max_new_tokens: int = 90,
+        admit_widths=(128, 256, 512),
+        stage: int = 1,
+    ):
+        self.myriad = myriad
+        self.stage = stage
+        self.cfg = GenerationConfig(max_new_tokens=max_new_tokens)
+        llama = LlamaForCausalLM(myriad.arch.llama,
+                                 myriad.policy.compute_dtype,
+                                 myriad.policy.param_dtype)
+        cache_dtype = serving_cache_dtype(myriad.arch.llama,
+                                          myriad.policy.compute_dtype)
+        if bucket is None:
+            # round to the KV tile granularity (int8 cache payloads tile T
+            # in 32s; unaligned buckets just waste a partial tile)
+            bucket = -(-(max(admit_widths) + max_new_tokens + 1) // 32) * 32
+        self.engine = ServingEngine(
+            llama, {"params": myriad.params["llama"]},
+            slots=slots, bucket=bucket, config=self.cfg,
+            cache_dtype=cache_dtype, segment=segment,
+            admit_widths=admit_widths)
+        self._embed_progs: Dict[tuple, callable] = {}
+        self._meta: Dict[int, Dict] = {}
+
+    def _embed_prog(self, key):
+        if key in self._embed_progs:
+            return self._embed_progs[key]
+        module, stage = self.myriad.module, self.stage
+        add_bos = self.myriad.bos_at_generate
+        from myriad_tpu.models.myriad import MyriadModule
+
+        @jax.jit
+        def embed(params, image, maps, before, after):
+            return module.apply(
+                {"params": params}, image, maps, before, after, stage,
+                add_bos=add_bos, method=MyriadModule.prefill_embeds)
+
+        self._embed_progs[key] = embed
+        return embed
+
+    def submit(self, samples: Dict) -> int:
+        """Enqueue one sample (dict with 'image' (1,H,W,C), 'question*',
+        'scene'); returns the request id."""
+        return self._submit_group(samples)[0]
+
+    def submit_batch(self, samples_list: List[Dict]) -> List[int]:
+        """Enqueue many single-image samples; same-shape/same-question runs
+        share ONE embedding program call (the VE + encode_img forward is
+        batched), which matters on the remote-TPU runtime where every
+        dispatch costs ~0.5 s.  Returns request ids in input order."""
+        ids: List[int] = []
+        group: List[Dict] = []
+
+        def gkey(s):
+            img = np.asarray(s["image"])
+            q = s.get("question2") or s.get("question")
+            q = q[0] if isinstance(q, (list, tuple)) else q
+            return (img.shape[1:], img.dtype.str, q)
+
+        def flush():
+            if not group:
+                return
+            stacked = {
+                "image": np.concatenate([np.asarray(s["image"]) for s in group]),
+                "scene": [list(s.get("scene", [""]))[0] for s in group],
+            }
+            for k in ("question", "question2", "question3", "img_path"):
+                vals = [s[k] for s in group if k in s]
+                if vals:
+                    stacked[k] = [v[0] if isinstance(v, (list, tuple)) else v
+                                  for v in vals]
+            ids.extend(self._submit_group(stacked))
+            group.clear()
+
+        for s in samples_list:
+            if group and gkey(group[-1]) != gkey(s):
+                flush()
+            group.append(s)
+        flush()
+        return ids
+
+    def _submit_group(self, samples: Dict) -> List[int]:
+        """Embed a same-question batch in one program call; enqueue rows."""
+        m = self.myriad
+        image, question, _, maps, one_maps = m.prepare_sample(
+            samples, self.stage, training=False)
+        use_maps = one_maps if m.k_shot > 0 else maps
+        before, after = m.split_prompt(question)
+        key = (image.shape, np.asarray(image).dtype.str, before.shape,
+               after.shape)
+        embeds = np.asarray(self._embed_prog(key)(
+            m.params, jnp.asarray(image), use_maps,
+            jnp.asarray(before), jnp.asarray(after)))
+        scenes = list(samples.get("scene", [""] * embeds.shape[0]))
+        rids = []
+        for row, scene in zip(embeds, scenes):
+            rid = self.engine.submit(row)
+            self._meta[rid] = {"scene": scene, "question": question}
+            rids.append(rid)
+        return rids
+
+    def step(self) -> List[Dict]:
+        return [self._render(f) for f in self.engine.step()]
+
+    def drain(self, max_ticks: int = 10_000) -> List[Dict]:
+        return [self._render(f) for f in self.engine.drain(max_ticks)]
+
+    def _render(self, finished) -> Dict:
+        text = self.myriad.llama_tokenizer.decode(finished.tokens.tolist())
+        meta = self._meta.pop(finished.request_id, {})
+        return dict(request_id=finished.request_id, text=text,
+                    token_ids=finished.tokens, **meta)
+
+    @property
+    def pending(self) -> int:
+        return self.engine.pending
+
+    @property
+    def stats(self):
+        return self.engine.stats

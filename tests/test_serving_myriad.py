@@ -1,0 +1,64 @@
+"""MyriadServing front-end: engine transcripts match Myriad.generate."""
+
+import numpy as np
+import pytest
+
+from myriad_tpu.models.layers import Policy
+from myriad_tpu.models.myriad import Myriad, MyriadArch
+from myriad_tpu.serving.myriad_adapter import MyriadServing
+
+
+def _sample(seed, img=28, question="find out if there are defects."):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": rng.normal(size=(1, img, img, 3)).astype(np.float32),
+        "scene": ["bottle"],
+        "question": [f"<Img><ImageHere></Img>{question}"],
+        "question2": [f"<Img><ImageHere></Img>{question}"],
+        "question3": [f"<Img><ImageHere></Img>{question}"],
+        "img_path": ["mvtec/bottle/train/good/000.png"],
+    }
+
+
+@pytest.fixture(scope="module")
+def myriad_tiny():
+    return Myriad(arch=MyriadArch.tiny(), use_ve=False, policy=Policy.fp32(),
+                  max_txt_len=24, end_sym="###")
+
+
+def _trim(row, cfg):
+    ids, prev = [], None
+    for t in np.asarray(row).tolist():
+        if t in (cfg.eos_token_id, cfg.stop_single, cfg.pad_token_id):
+            break
+        if prev == cfg.stop_pair[0] and t == cfg.stop_pair[1]:
+            ids.pop()
+            break
+        ids.append(t)
+        prev = t
+    return np.asarray(ids, np.int32)
+
+
+def test_adapter_matches_generate(myriad_tiny):
+    """Requests with different images and ragged questions, 3 requests on
+    2 slots: each transcript equals Myriad.generate on that sample alone
+    (same greedy path, stop ids and KV dtype)."""
+    m = myriad_tiny
+    samples = [
+        _sample(0),
+        _sample(1, question="is there an anomaly present in this image?"),
+        _sample(2, question="defects?"),
+    ]
+    serving = MyriadServing(m, slots=2, segment=4, max_new_tokens=6,
+                            admit_widths=(160, 256))
+    ids = [serving.submit(s) for s in samples]
+    results = {r["request_id"]: r for r in serving.drain()}
+    assert sorted(results) == sorted(ids)
+
+    for rid, s in zip(ids, samples):
+        ref = m.generate(s, max_new_tokens=6)
+        want = _trim(np.asarray(ref["token_ids"])[0], serving.cfg)
+        np.testing.assert_array_equal(results[rid]["token_ids"], want)
+        assert isinstance(results[rid]["text"], str)
+        assert results[rid]["scene"] == "bottle"
+    assert serving.stats["completed"] == 3

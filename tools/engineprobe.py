@@ -1,0 +1,179 @@
+"""Continuous-batching engine probe: serving throughput + latency on TPU.
+
+The batch bench (bench.py) measures the OFFLINE regime — fixed batches of
+identical requests, every row starting and stopping together.  A deployed
+endpoint sees the ONLINE regime: ragged arrivals, rows finishing at
+different times, slots turning over.  This probe drives
+serving.MyriadServing with synthetic AQA requests at the full bench
+profile and reports:
+
+  * req/s sustained (completed / wall from first admission)
+  * per-request latency p50/p95 (submit wall -> finish wall)
+  * slot occupancy (decode steps spent on live rows / total row-steps)
+
+Arrival modes:
+  burst    all N requests queued up front — the engine's peak (its answer
+           to bench.py's fixed batch, but with per-row completion)
+  trickle  `--arrive K` new requests per tick — open-loop arrivals; shows
+           utilization holding up while slots churn
+
+Usage: python tools/engineprobe.py [--requests 96] [--slots 48]
+         [--segment 32] [--mode burst|trickle] [--arrive 8] [--dry-run]
+
+One JSON line on stdout (sweep-queue convention, tools/sweep_r3c.sh).
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--requests", type=int, default=96)
+    p.add_argument("--slots", type=int, default=48)
+    p.add_argument("--segment", type=int, default=32,
+                   help="decode steps per compiled tick (amortizes the "
+                        "~0.5 s remote-dispatch cost)")
+    p.add_argument("--max-new", type=int, default=90)
+    p.add_argument("--mode", type=str, default="burst",
+                   choices=["burst", "trickle"])
+    p.add_argument("--arrive", type=int, default=8,
+                   help="trickle mode: requests arriving per tick")
+    p.add_argument("--quant", type=str, default="int8",
+                   choices=["none", "int8"])
+    p.add_argument("--kv", type=str, default="int8", choices=["bf16", "int8"])
+    p.add_argument("--dry-run", action="store_true",
+                   help="tiny profile on CPU")
+    args = p.parse_args()
+
+    import jax
+
+    if args.dry_run:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from myriad_tpu.common.dist import enable_compilation_cache
+
+        enable_compilation_cache()
+
+    from bench import build_profile
+    from myriad_tpu.models.layers import Policy
+    from myriad_tpu.models.myriad import Myriad
+    from myriad_tpu.serving.myriad_adapter import MyriadServing
+
+    profile = "tiny" if args.dry_run else "bench"
+    arch = build_profile(profile)
+    if args.quant == "int8":
+        arch = dataclasses.replace(
+            arch, llama=dataclasses.replace(arch.llama, weight_dtype="int8"),
+            vit_weight_dtype="int8", qformer_weight_dtype="int8",
+            imagebind=dataclasses.replace(arch.imagebind, weight_dtype="int8"))
+    arch = dataclasses.replace(
+        arch, llama=dataclasses.replace(
+            arch.llama, kv_cache_dtype="int8" if args.kv == "int8" else "bf16"))
+
+    if args.dry_run:
+        args.slots = min(args.slots, 4)
+        args.requests = min(args.requests, 8)
+        args.max_new = min(args.max_new, 8)
+        args.segment = min(args.segment, 4)
+
+    t0 = time.time()
+    model = Myriad(arch=arch, use_ve=True,
+                   policy=Policy.fp32() if args.dry_run else Policy.bf16_params(),
+                   max_txt_len=160, end_sym="###", seed=0)
+    ve = model.vision_expert
+    ve.class_names = ["bottle"]
+    ve.class_index = {"bottle": 0}
+    ve.build_text_features()
+    print(f"[engineprobe] init {time.time()-t0:.1f}s "
+          f"params={model.show_n_params()}", file=sys.stderr)
+
+    # the real AQA stage-1 question (bench.py prompt), 297-token prefix at
+    # full scale -> admit width 320, bucket 416
+    from myriad_tpu.datasets.anomaly_detection import QUESTION_PROMPTS
+
+    question = "<Img><ImageHere></Img>" + QUESTION_PROMPTS[1]
+    rng = np.random.default_rng(0)
+
+    def make_request(i):
+        return {
+            "image": rng.normal(
+                size=(1, arch.img_size, arch.img_size, 3)).astype(np.float32),
+            "scene": ["bottle"],
+            "question": [question], "question2": [question],
+            "question3": [question],
+        }
+
+    requests = [make_request(i) for i in range(args.requests)]
+    serving = MyriadServing(
+        model, slots=args.slots, segment=args.segment,
+        max_new_tokens=args.max_new,
+        admit_widths=(64, 160, 320))
+
+    # warm the programs (compile outside the timed window): one request
+    # through embed + prefill + insert + a segment, then reset stats
+    wid = serving.submit(requests[0])
+    warm = serving.drain()
+    assert [r["request_id"] for r in warm] == [wid]
+    compile_s = time.time() - t0
+    print(f"[engineprobe] warm {compile_s:.1f}s", file=sys.stderr)
+    for k in serving.stats:
+        serving.stats[k] = 0
+
+    submit_wall = {}
+    finish_wall = {}
+    t_start = time.time()
+    if args.mode == "burst":
+        ids = serving.submit_batch(requests)
+        now = time.time()
+        for rid in ids:
+            submit_wall[rid] = now
+        pending_arrivals = []
+    else:
+        pending_arrivals = list(requests)
+
+    ticks = 0
+    while serving.pending or pending_arrivals:
+        if pending_arrivals:
+            batch, pending_arrivals = (pending_arrivals[: args.arrive],
+                                       pending_arrivals[args.arrive:])
+            now = time.time()
+            for rid in serving.submit_batch(batch):
+                submit_wall[rid] = now
+        for r in serving.step():
+            finish_wall[r["request_id"]] = time.time()
+        ticks += 1
+        assert ticks < 100_000
+    wall = time.time() - t_start
+
+    lat = np.asarray([finish_wall[r] - submit_wall[r] for r in finish_wall])
+    n = len(finish_wall)
+    throughput = n / wall
+    stats = serving.stats
+    result = {
+        "metric": f"serving req/s ({args.mode} arrivals, {args.slots} slots, "
+                  f"segment {args.segment}, {args.max_new}-token answers, "
+                  f"weights {args.quant}, kv {args.kv})",
+        "value": round(throughput, 4),
+        "unit": "requests/sec",
+        "requests": n,
+        "wall_s": round(wall, 2),
+        "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
+        "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
+        "ticks": stats["ticks"],
+        "decode_steps": stats["decode_steps"],
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
