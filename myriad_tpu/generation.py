@@ -553,23 +553,32 @@ def speculative_generate(
     return (out, prompt_cache) if return_cache else out
 
 
+def trim_stop_ids(row, cfg: Optional[GenerationConfig] = None):
+    """Trim one generated row at eos/'###'/pad, returning the kept ids —
+    the id-level half of the reference's ``text.split('###')[0]``
+    post-processing.  The single home for the stop protocol's trim rule
+    (decode_stop_trimmed, the serving engine and tests all ride it)."""
+    cfg = cfg or GenerationConfig()
+    import numpy as np
+
+    ids = []
+    prev = None
+    for t in np.asarray(row).tolist():
+        if t in (cfg.eos_token_id, cfg.stop_single, cfg.pad_token_id):
+            break
+        if prev == cfg.stop_pair[0] and t == cfg.stop_pair[1]:
+            ids.pop()
+            break
+        ids.append(t)
+        prev = t
+    return ids
+
+
 def decode_stop_trimmed(token_rows, tokenizer, cfg: Optional[GenerationConfig] = None):
     """Decode generated ids to text, trimming at '###'/eos like the
     reference's ``text.split('###')[0]`` post-processing."""
     cfg = cfg or GenerationConfig()
-    outs = []
     import numpy as np
 
-    for row in np.asarray(token_rows):
-        ids = []
-        prev = None
-        for t in row.tolist():
-            if t in (cfg.eos_token_id, cfg.stop_single, cfg.pad_token_id):
-                break
-            if prev == cfg.stop_pair[0] and t == cfg.stop_pair[1]:
-                ids.pop()
-                break
-            ids.append(t)
-            prev = t
-        outs.append(tokenizer.decode(ids))
-    return outs
+    return [tokenizer.decode(trim_stop_ids(row, cfg))
+            for row in np.asarray(token_rows)]

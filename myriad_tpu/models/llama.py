@@ -513,14 +513,19 @@ class LlamaForCausalLM(nn.Module):
         (B, P, vocab) fp32 logits costs ~0.5 GiB + 0.5 TFLOP per 32-image
         batch at Vicuna scale for nothing.
 
-        ``last_index`` (traced int scalar) selects a different single
-        column instead — continue_generate's right-padded delta reads its
-        logits at the last VALID column, not the last pad column.
+        ``last_index`` (traced int scalar, or a (B,) vector for per-row
+        valid lengths — the serving engine's batched admission) selects a
+        different single column instead — continue_generate's right-padded
+        delta reads its logits at the last VALID column, not the last pad
+        column.
         """
         hidden, new_cache = self.model(inputs_embeds, attention_mask, cache=cache)
         if last_index is not None:
-            hidden = jax.lax.dynamic_slice_in_dim(
-                hidden, jnp.asarray(last_index, jnp.int32), 1, axis=1)
+            li = jnp.asarray(last_index, jnp.int32)
+            if li.ndim == 1:
+                hidden = jnp.take_along_axis(hidden, li[:, None, None], axis=1)
+            else:
+                hidden = jax.lax.dynamic_slice_in_dim(hidden, li, 1, axis=1)
         else:
             hidden = hidden[:, -1:]
         return self.logits(hidden), new_cache

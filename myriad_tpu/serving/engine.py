@@ -29,12 +29,16 @@ Design notes (TPU/XLA constraints drive everything):
   slot reuse safe with no explicit invalidation: a freed slot's stale KV
   lives at positions the new request's queries never admit, exactly the
   invariant speculative rollback relies on (llama.py mask note).
-* **Admission = tiny prefill + row graft.** A new request prefills a
-  fresh 1-row mini cache at its width bucket (right-padded, logits read
-  at the last valid column — continue_generate's trick), then grafts into
-  its slot with per-leaf ``dynamic_update_slice`` row writes.  Junk pad
-  KV beyond ``valid`` is overwritten by decode before the mask ever
-  admits it (generation.continue_generate invariant).
+* **Admission = batched mini prefill + row graft.** New requests group
+  by admission width and prefill a fresh n-row mini cache per
+  power-of-two chunk (right-padded, per-row logits read at each row's
+  last valid column — continue_generate's trick, vectorized), then graft
+  into their slots with one scatter per cache leaf.  Junk pad KV beyond
+  ``valid`` is overwritten by decode before the mask ever admits it
+  (generation.continue_generate invariant).  Chunking matters on the
+  remote-TPU runtime: admission costs 2 dispatches per CHUNK, not per
+  request (~0.5 s each, CLAUDE.md), and programs stay bounded at
+  widths × log2(slots).
 * **Segment decode amortizes dispatch.** One jitted ``while_loop`` runs
   up to ``segment`` steps for all rows (early-exits when every occupied
   row stops); the host syncs only tiny vectors between segments.  On the
@@ -45,7 +49,10 @@ Design notes (TPU/XLA constraints drive everything):
 
 Token streams are bit-identical to ``generation.greedy_generate`` run
 per-request (same select/stop/emit semantics; masked bucket tails
-contribute exact zeros) — pinned by tests/test_serving_engine.py.
+contribute exact zeros) — pinned by tests/test_serving_engine.py.  The
+engine is greedy-only for exactly that reason: sampled transcripts would
+depend on co-residency and segment size through the shared rng stream
+(speculative decoding draws the same line, generation.py).
 """
 
 from __future__ import annotations
@@ -104,6 +111,7 @@ class ServingEngine:
         cache_dtype=jnp.bfloat16,
         segment: int = 32,
         admit_widths: Tuple[int, ...] = (64, 128, 256, 512),
+        max_admit_chunk: int = 16,
         rng: Optional[jax.Array] = None,
     ):
         self.model = model
@@ -111,18 +119,25 @@ class ServingEngine:
         self.slots = int(slots)
         self.bucket = int(bucket)
         self.cfg = config or GenerationConfig()
+        assert not self.cfg.do_sample, (
+            "the serving engine is greedy-only: sampled transcripts would "
+            "depend on co-residency/segment size through the shared rng")
         self.cache_dtype = cache_dtype
         self.segment = int(segment)
         self.admit_widths = tuple(sorted(w for w in admit_widths if w <= bucket))
         assert self.admit_widths, "no admission width fits the bucket"
+        # each (width, n) chunk shape is a full prefill compile — cap n so
+        # the program ladder stays {1,2,...,max_admit_chunk} per width
+        self.max_admit_chunk = max(1, int(max_admit_chunk))
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
 
         self._queue: List[_Pending] = []
         self._slot_req: List[Optional[int]] = [None] * self.slots
         self._slot_prompt_len: List[int] = [0] * self.slots
         self._next_id = 0
+        # live_row_steps / (decode_steps * slots) = slot occupancy
         self.stats = {"submitted": 0, "completed": 0, "ticks": 0,
-                      "decode_steps": 0}
+                      "decode_steps": 0, "live_row_steps": 0}
 
         self._state = self._init_state()
         self._prefill_progs: Dict[int, callable] = {}
@@ -151,64 +166,63 @@ class ServingEngine:
         )
 
     # ------------------------------------------------------------- programs
-    def _prefill_prog(self, width: int):
-        """(params, embeds (1,width,D), valid, rng) -> (mini_cache, last0)."""
-        if width in self._prefill_progs:
-            return self._prefill_progs[width]
+    def _prefill_prog(self, width: int, n: int):
+        """(params, embeds (n,width,D), valid (n,), rng) ->
+        (mini_cache, last0 (n,)) — one program per (width, n) chunk shape."""
+        key = (width, n)
+        if key in self._prefill_progs:
+            return self._prefill_progs[key]
         model, cfg, cache_dtype = self.model, self.cfg, self.cache_dtype
 
         @jax.jit
         def prefill(params, embeds, valid, rng):
             # fresh mini cache built INSIDE the program: the concrete index-0
             # write takes llama.py's zero-pad path (no second cache copy)
-            cache = init_cache(model.config, 1, width, cache_dtype)
+            cache = init_cache(model.config, n, width, cache_dtype)
             logits, cache = model.apply(
                 params, embeds, cache=cache, last_index=valid - 1,
                 method=LlamaForCausalLM.prefill)
             last = _select_token(logits[:, -1].astype(jnp.float32), cfg, rng)
-            # rewind the frontier to the valid length: decode overwrites the
-            # pad KV before the causal mask ever admits those slots
+            # rewind the frontiers to the valid lengths: decode overwrites
+            # the pad KV before the causal mask ever admits those slots
             cache = tuple(dict(c, index=jnp.asarray(valid, jnp.int32))
                           for c in cache)
-            return cache, last[0]
+            return cache, last
 
-        self._prefill_progs[width] = prefill
+        self._prefill_progs[key] = prefill
         return prefill
 
     def _make_insert(self):
-        """(state, mini_cache, slot, last0, valid) -> state with the request
-        grafted into row ``slot`` (re-traces once per admission width)."""
+        """(state, mini_cache (n rows), slots (n,), last0 (n,), valid (n,))
+        -> state with the chunk grafted into rows ``slots`` (one scatter
+        per cache leaf; re-traces once per (width, n) chunk shape)."""
         cfg, max_new = self.cfg, self.cfg.max_new_tokens
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def insert(state, mini, slot, last0, valid):
-            def put_row(big, small):
-                start = (slot,) + (0,) * (big.ndim - 1)
-                return jax.lax.dynamic_update_slice(
-                    big, small.astype(big.dtype), start)
-
-            def put1(vec, val, cast=None):
-                val = jnp.asarray(val, vec.dtype if cast is None else cast)
-                return jax.lax.dynamic_update_slice(vec, val[None], (slot,))
+        def insert(state, mini, slots, last0, valid):
+            def put_rows(big, small):
+                # scatter the n mini rows into their slots; trailing dims of
+                # the mini leaf may be narrower (width < bucket) — slice them
+                idx = (slots,) + tuple(slice(0, d) for d in small.shape[1:])
+                return big.at[idx].set(small.astype(big.dtype))
 
             cache = tuple(
                 dict(
-                    {k: put_row(bc[k], mc[k]) for k in bc if k != "index"},
-                    index=put1(bc["index"], valid),
+                    {k: put_rows(bc[k], mc[k]) for k in bc if k != "index"},
+                    index=bc["index"].at[slots].set(valid),
                 )
                 for bc, mc in zip(state["cache"], mini)
             )
             done0 = (last0 == cfg.eos_token_id) | (last0 == cfg.stop_single)
-            tokens = jax.lax.dynamic_update_slice(
-                state["tokens"],
-                jnp.full((1, max_new + 1), cfg.pad_token_id, jnp.int32),
-                (slot, jnp.int32(0)))
+            n = slots.shape[0]
+            tokens = state["tokens"].at[slots].set(
+                jnp.full((n, max_new + 1), cfg.pad_token_id, jnp.int32))
             return dict(
                 cache=cache,
-                length=put1(state["length"], valid),
-                last=put1(state["last"], last0),
-                done=put1(state["done"], done0),
-                n_emit=put1(state["n_emit"], jnp.int32(0)),
+                length=state["length"].at[slots].set(valid),
+                last=state["last"].at[slots].set(last0),
+                done=state["done"].at[slots].set(done0),
+                n_emit=state["n_emit"].at[slots].set(0),
                 tokens=tokens,
                 rng=state["rng"],
             )
@@ -264,12 +278,14 @@ class ServingEngine:
                 return dict(cache=cache, length=length,
                             last=jnp.where(active, nxt, st["last"]),
                             done=done, n_emit=n_emit, tokens=tokens, rng=rng,
-                            step=st["step"] + 1)
+                            step=st["step"] + 1,
+                            live=st["live"] + jnp.sum(active.astype(jnp.int32)))
 
-            st = dict(state, step=jnp.int32(0))
+            st = dict(state, step=jnp.int32(0), live=jnp.int32(0))
             st = jax.lax.while_loop(cond, body, st)
             nsteps = st.pop("step")
-            return st, nsteps
+            live = st.pop("live")
+            return st, nsteps, live
 
         return run
 
@@ -293,39 +309,62 @@ class ServingEngine:
         self.stats["submitted"] += 1
         return rid
 
-    def _admit(self, slot: int, req: _Pending) -> None:
-        t, d = req.embeds.shape
-        width = next(w for w in self.admit_widths if w >= t)
-        padded = np.zeros((1, width, d), req.embeds.dtype)
-        padded[0, :t] = req.embeds
-        self._rng, sub = jax.random.split(self._rng)
-        mini, last0 = self._prefill_prog(width)(
-            self.params, jnp.asarray(padded), jnp.int32(t), sub)
+    def _admit_pending(self) -> None:
+        """Admit queued requests into free slots: group by admission width,
+        then prefill + graft in power-of-two chunks (2 dispatches per
+        chunk, not per request; programs bounded at widths x log2(slots))."""
+        free = [s for s in range(self.slots) if self._slot_req[s] is None]
+        take = min(len(free), len(self._queue))
+        if not take:
+            return
+        by_width: Dict[int, List[Tuple[int, _Pending]]] = {}
+        for slot in free[:take]:
+            req = self._queue.pop(0)
+            width = next(w for w in self.admit_widths if w >= req.embeds.shape[0])
+            by_width.setdefault(width, []).append((slot, req))
         if self._insert_prog is None:
             self._insert_prog = self._make_insert()
-        self._state = self._insert_prog(self._state, mini, jnp.int32(slot),
-                                        last0, jnp.int32(t))
-        self._slot_req[slot] = req.request_id
-        self._slot_prompt_len[slot] = t
+        for width, items in by_width.items():
+            i = 0
+            while i < len(items):
+                n = 1 << (len(items) - i).bit_length() - 1  # largest 2^k left
+                n = min(n, self.max_admit_chunk)
+                self._admit_chunk(width, items[i:i + n])
+                i += n
+
+    def _admit_chunk(self, width: int, items: List[Tuple[int, _Pending]]) -> None:
+        n = len(items)
+        d = items[0][1].embeds.shape[1]
+        padded = np.zeros((n, width, d), items[0][1].embeds.dtype)
+        valid = np.zeros((n,), np.int32)
+        for j, (_, req) in enumerate(items):
+            t = req.embeds.shape[0]
+            padded[j, :t] = req.embeds
+            valid[j] = t
+        self._rng, sub = jax.random.split(self._rng)
+        mini, last0 = self._prefill_prog(width, n)(
+            self.params, jnp.asarray(padded), jnp.asarray(valid), sub)
+        slots = jnp.asarray([s for s, _ in items], jnp.int32)
+        self._state = self._insert_prog(self._state, mini, slots, last0,
+                                        jnp.asarray(valid))
+        for (slot, req), t in zip(items, valid):
+            self._slot_req[slot] = req.request_id
+            self._slot_prompt_len[slot] = int(t)
 
     def step(self) -> List[Finished]:
         """One scheduler tick: admit pending requests into free slots, run
         one decode segment, collect finished rows.  Returns the requests
         that completed this tick."""
-        for slot in range(self.slots):
-            if not self._queue:
-                break
-            if self._slot_req[slot] is None:
-                self._admit(slot, self._queue.pop(0))
-
+        self._admit_pending()
         occupied = [s for s in range(self.slots) if self._slot_req[s] is not None]
         if not occupied:
             return []
         if self._segment_prog is None:
             self._segment_prog = self._make_segment()
-        self._state, nsteps = self._segment_prog(self.params, self._state)
+        self._state, nsteps, live = self._segment_prog(self.params, self._state)
         self.stats["ticks"] += 1
         self.stats["decode_steps"] += int(nsteps)
+        self.stats["live_row_steps"] += int(live)
 
         done = np.asarray(self._state["done"])
         finished: List[Finished] = []
@@ -356,17 +395,9 @@ class ServingEngine:
         return len(self._queue) + sum(r is not None for r in self._slot_req)
 
     def _trim(self, row: np.ndarray) -> np.ndarray:
-        """Trim a raw output row at stop/eos/pad, matching
-        generation.decode_stop_trimmed's id-level semantics."""
-        cfg = self.cfg
-        ids: List[int] = []
-        prev = None
-        for t in row.tolist()[: cfg.max_new_tokens]:
-            if t in (cfg.eos_token_id, cfg.stop_single, cfg.pad_token_id):
-                break
-            if prev == cfg.stop_pair[0] and t == cfg.stop_pair[1]:
-                ids.pop()
-                break
-            ids.append(t)
-            prev = t
-        return np.asarray(ids, np.int32)
+        """Trim a raw output row at stop/eos/pad (the shared stop-protocol
+        rule, generation.trim_stop_ids)."""
+        from myriad_tpu.generation import trim_stop_ids
+
+        return np.asarray(
+            trim_stop_ids(row[: self.cfg.max_new_tokens], self.cfg), np.int32)

@@ -27,6 +27,15 @@ from myriad_tpu.models.llama import LlamaForCausalLM, serving_cache_dtype
 from myriad_tpu.serving.engine import ServingEngine
 
 
+def _scene0(scene) -> str:
+    """First scene of a sample's scene field, accepting a plain string
+    (list('bottle')[0] would silently yield 'b')."""
+    if isinstance(scene, str):
+        return scene
+    seq = list(scene)
+    return seq[0] if seq else ""
+
+
 class MyriadServing:
     """Continuous serving of anomaly-QA requests on a Myriad model.
 
@@ -87,17 +96,24 @@ class MyriadServing:
         'scene'); returns the request id."""
         return self._submit_group(samples)[0]
 
-    def submit_batch(self, samples_list: List[Dict]) -> List[int]:
+    def submit_batch(self, samples_list: List[Dict],
+                     max_group: int = 16) -> List[int]:
         """Enqueue many single-image samples; same-shape/same-question runs
         share ONE embedding program call (the VE + encode_img forward is
         batched), which matters on the remote-TPU runtime where every
-        dispatch costs ~0.5 s.  Returns request ids in input order."""
+        dispatch costs ~0.5 s.  Groups cap at ``max_group`` rows — the
+        embed forward's activation footprint must stay inside the
+        validated envelope (the bench OOMs past batch ~48 at full scale;
+        16 keeps admission bursts well clear while the engine cache is
+        also resident).  Returns request ids in input order."""
         ids: List[int] = []
         group: List[Dict] = []
+        q_key = {0: "question", 1: "question2", 2: "question3"}[self.stage]
 
         def gkey(s):
             img = np.asarray(s["image"])
-            q = s.get("question2") or s.get("question")
+            # the same stage-keyed prompt selection prepare_sample applies
+            q = s.get(q_key) or s.get("question")
             q = q[0] if isinstance(q, (list, tuple)) else q
             return (img.shape[1:], img.dtype.str, q)
 
@@ -106,7 +122,7 @@ class MyriadServing:
                 return
             stacked = {
                 "image": np.concatenate([np.asarray(s["image"]) for s in group]),
-                "scene": [list(s.get("scene", [""]))[0] for s in group],
+                "scene": [_scene0(s.get("scene", "")) for s in group],
             }
             for k in ("question", "question2", "question3", "img_path"):
                 vals = [s[k] for s in group if k in s]
@@ -117,7 +133,7 @@ class MyriadServing:
             group.clear()
 
         for s in samples_list:
-            if group and gkey(group[-1]) != gkey(s):
+            if group and (gkey(group[-1]) != gkey(s) or len(group) >= max_group):
                 flush()
             group.append(s)
         flush()
@@ -136,6 +152,11 @@ class MyriadServing:
             m.params, jnp.asarray(image), use_maps,
             jnp.asarray(before), jnp.asarray(after)))
         scenes = list(samples.get("scene", [""] * embeds.shape[0]))
+        if len(scenes) != embeds.shape[0]:
+            raise ValueError(
+                f"{embeds.shape[0]} image rows but {len(scenes)} scenes — "
+                "every row needs its scene (a short list would silently "
+                "drop requests)")
         rids = []
         for row, scene in zip(embeds, scenes):
             rid = self.engine.submit(row)

@@ -12,7 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from myriad_tpu.generation import GenerationConfig, greedy_generate
+from myriad_tpu.generation import (GenerationConfig, greedy_generate,
+                                   trim_stop_ids)
 from myriad_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 from myriad_tpu.serving import ServingEngine
 
@@ -36,16 +37,7 @@ def _reference(model, params, embeds, cfg, cache_dtype):
     """Per-request greedy_generate transcript, trimmed like the engine."""
     tokens = np.asarray(greedy_generate(
         model, params, embeds[None], config=cfg, cache_dtype=cache_dtype))[0]
-    ids, prev = [], None
-    for t in tokens.tolist():
-        if t in (cfg.eos_token_id, cfg.stop_single, cfg.pad_token_id):
-            break
-        if prev == cfg.stop_pair[0] and t == cfg.stop_pair[1]:
-            ids.pop()
-            break
-        ids.append(t)
-        prev = t
-    return np.asarray(ids, np.int32)
+    return np.asarray(trim_stop_ids(tokens, cfg), np.int32)
 
 
 CFG = GenerationConfig(max_new_tokens=10, eos_token_id=-1, stop_single=-1,
@@ -163,7 +155,9 @@ def test_bounded_program_count(tiny):
         eng.submit(_prompts(rng, [t], dim)[0], request_id=i)
     results = {f.request_id for f in eng.drain()}
     assert results == set(range(8))
-    assert set(eng._prefill_progs) == {8, 16}
+    # (width, chunk) programs: widths only from the ladder, chunks <= slots
+    assert {w for w, _ in eng._prefill_progs} == {8, 16}
+    assert all(n <= 2 for _, n in eng._prefill_progs)
     assert eng.stats["completed"] == 8
     # segment early-exit: total decode steps stay near the useful work
     assert eng.stats["decode_steps"] <= 8 * (CFG.max_new_tokens + 16)

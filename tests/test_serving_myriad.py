@@ -27,16 +27,9 @@ def myriad_tiny():
 
 
 def _trim(row, cfg):
-    ids, prev = [], None
-    for t in np.asarray(row).tolist():
-        if t in (cfg.eos_token_id, cfg.stop_single, cfg.pad_token_id):
-            break
-        if prev == cfg.stop_pair[0] and t == cfg.stop_pair[1]:
-            ids.pop()
-            break
-        ids.append(t)
-        prev = t
-    return np.asarray(ids, np.int32)
+    from myriad_tpu.generation import trim_stop_ids
+
+    return np.asarray(trim_stop_ids(row, cfg), np.int32)
 
 
 def test_adapter_matches_generate(myriad_tiny):

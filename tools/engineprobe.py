@@ -117,12 +117,20 @@ def main():
         model, slots=args.slots, segment=args.segment,
         max_new_tokens=args.max_new,
         admit_widths=(64, 160, 320))
+    # embed-group size the timed run will use — warm the SAME shapes, or
+    # their compiles land inside the measured window
+    group = min(16, args.arrive if args.mode == "trickle" else 16,
+                args.requests)
 
-    # warm the programs (compile outside the timed window): one request
-    # through embed + prefill + insert + a segment, then reset stats
-    wid = serving.submit(requests[0])
+    # warm every program (compile outside the timed window): 2*group-1
+    # requests admit as chunks group, group/2, ..., 1 — every (width, n)
+    # prefill/insert shape the timed run can hit — plus the embed group
+    # shape and the segment program; then reset stats
+    warm_n = min(2 * group - 1, args.slots)
+    warm_reqs = [make_request(-1 - i) for i in range(warm_n)]
+    wids = serving.submit_batch(warm_reqs, max_group=group)
     warm = serving.drain()
-    assert [r["request_id"] for r in warm] == [wid]
+    assert sorted(r["request_id"] for r in warm) == sorted(wids)
     compile_s = time.time() - t0
     print(f"[engineprobe] warm {compile_s:.1f}s", file=sys.stderr)
     for k in serving.stats:
@@ -132,10 +140,11 @@ def main():
     finish_wall = {}
     t_start = time.time()
     if args.mode == "burst":
-        ids = serving.submit_batch(requests)
-        now = time.time()
+        # all requests arrive at t_start; the embed forward is part of
+        # every latency sample (it is serving-path work)
+        ids = serving.submit_batch(requests, max_group=group)
         for rid in ids:
-            submit_wall[rid] = now
+            submit_wall[rid] = t_start
         pending_arrivals = []
     else:
         pending_arrivals = list(requests)
@@ -145,8 +154,8 @@ def main():
         if pending_arrivals:
             batch, pending_arrivals = (pending_arrivals[: args.arrive],
                                        pending_arrivals[args.arrive:])
-            now = time.time()
-            for rid in serving.submit_batch(batch):
+            now = time.time()  # arrival stamp: before the embed forward
+            for rid in serving.submit_batch(batch, max_group=group):
                 submit_wall[rid] = now
         for r in serving.step():
             finish_wall[r["request_id"]] = time.time()
@@ -170,6 +179,9 @@ def main():
         "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
         "ticks": stats["ticks"],
         "decode_steps": stats["decode_steps"],
+        "slot_occupancy": round(
+            stats["live_row_steps"] / max(stats["decode_steps"] * args.slots, 1),
+            3),
         "compile_s": round(compile_s, 1),
     }
     print(json.dumps(result))

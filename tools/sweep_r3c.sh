@@ -48,3 +48,16 @@ echo "=== chatprobe ===" | tee -a "$OUT/summary.log"
 timeout 4800 python tools/chatprobe.py --turns 5 --max-new 60 --spec 3 \
   > "$OUT/chatprobe.log" 2>&1
 tail -5 "$OUT/chatprobe.log" | tee -a "$OUT/summary.log"
+
+# 9. continuous-batching engine: online-regime throughput/latency at the
+#    bench profile (48 slots).  burst = engine peak vs bench.py's fixed
+#    batch; trickle = utilization while slots churn under open-loop
+#    arrivals.  segment 64 amortizes the ~0.5s remote dispatch.
+eprobe() {
+  name=$1; shift
+  echo "=== engineprobe $name: $* ===" | tee -a "$OUT/summary.log"
+  timeout 3600 python tools/engineprobe.py "$@" > "$OUT/engine_$name.log" 2>&1
+  tail -1 "$OUT/engine_$name.log" | tee -a "$OUT/summary.log"
+}
+eprobe burst --mode burst --requests 192 --slots 48 --segment 64
+eprobe trickle --mode trickle --arrive 16 --requests 192 --slots 48 --segment 64
