@@ -113,6 +113,7 @@ class ServingEngine:
         admit_widths: Tuple[int, ...] = (64, 128, 256, 512),
         max_admit_chunk: int = 16,
         rng: Optional[jax.Array] = None,
+        mesh=None,
     ):
         self.model = model
         self.params = params
@@ -124,6 +125,13 @@ class ServingEngine:
             "depend on co-residency/segment size through the shared rng")
         self.cache_dtype = cache_dtype
         self.segment = int(segment)
+        # multichip serving: under a ('data','model') mesh the KV cache
+        # shards over heads on the model axis, matching the column-parallel
+        # q/k/v projections (parallel/partition.LLAMA_RULES) — attention
+        # then runs shard-local per head and GSPMD inserts the o_proj psum,
+        # with no cache gather.  Slot/state vectors stay replicated (they
+        # are bytes, not bandwidth).
+        self.mesh = mesh
         self.admit_widths = tuple(sorted(w for w in admit_widths if w <= bucket))
         assert self.admit_widths, "no admission width fits the bucket"
         # each (width, n) chunk shape is a full prefill compile — cap n so
@@ -153,6 +161,15 @@ class ServingEngine:
         # would take the fresh-cache zero-pad write path on first segment)
         cache = tuple(dict(c, index=jnp.zeros((self.slots,), jnp.int32))
                       for c in cache)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            kv = NamedSharding(self.mesh, P(None, "model"))
+            rep = NamedSharding(self.mesh, P())
+            cache = tuple(
+                {k: jax.device_put(v, kv if v.ndim == 4 else rep)
+                 for k, v in c.items()}
+                for c in cache)
         return dict(
             cache=cache,
             length=jnp.zeros((self.slots,), jnp.int32),   # write frontier
