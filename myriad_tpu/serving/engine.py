@@ -114,6 +114,8 @@ class ServingEngine:
         max_admit_chunk: int = 16,
         rng: Optional[jax.Array] = None,
         mesh=None,
+        spec_k: int = 0,
+        lookup_ids=None,
     ):
         self.model = model
         self.params = params
@@ -132,6 +134,16 @@ class ServingEngine:
         # with no cache gather.  Slot/state vectors stay replicated (they
         # are bytes, not bandwidth).
         self.mesh = mesh
+        # speculative decoding (generation.speculative_generate semantics):
+        # each segment round verifies spec_k n-gram-drafted tokens in one
+        # forward — up to K+1 emitted tokens per weight pass, transcripts
+        # bit-identical by construction (drafts are proposals; every emitted
+        # token is verified greedy argmax).  lookup_ids: optional shared
+        # prompt-lookup corpus (templated endpoints: the AQA answer
+        # sentences hit from the first rounds).
+        self.spec_k = int(spec_k)
+        self._lookup_ids = (None if lookup_ids is None
+                            else np.asarray(lookup_ids, np.int32).reshape(-1))
         self.admit_widths = tuple(sorted(w for w in admit_widths if w <= bucket))
         assert self.admit_widths, "no admission width fits the bucket"
         # each (width, n) chunk shape is a full prefill compile — cap n so
@@ -144,8 +156,11 @@ class ServingEngine:
         self._slot_prompt_len: List[int] = [0] * self.slots
         self._next_id = 0
         # live_row_steps / (decode_steps * slots) = slot occupancy
+        # (decode_steps counts verify ROUNDS when spec_k > 0);
+        # spec_accepted / spec_drafted = draft acceptance rate
         self.stats = {"submitted": 0, "completed": 0, "ticks": 0,
-                      "decode_steps": 0, "live_row_steps": 0}
+                      "decode_steps": 0, "live_row_steps": 0,
+                      "spec_accepted": 0, "spec_drafted": 0}
 
         self._state = self._init_state()
         self._prefill_progs: Dict[int, callable] = {}
@@ -174,11 +189,13 @@ class ServingEngine:
             cache=cache,
             length=jnp.zeros((self.slots,), jnp.int32),   # write frontier
             last=jnp.zeros((self.slots,), jnp.int32),     # next token to emit
+            prev=jnp.full((self.slots,), -1, jnp.int32),  # 2-gram context
             done=jnp.ones((self.slots,), bool),           # free slots are done
             n_emit=jnp.zeros((self.slots,), jnp.int32),
-            # +1 slack column: finished rows park their writes at max_new
-            tokens=jnp.full((self.slots, max_new + 1), cfg.pad_token_id,
-                            jnp.int32),
+            # slack columns: finished rows park their writes at max_new, and
+            # a spec verify round's window is spec_k+1 wide
+            tokens=jnp.full((self.slots, max_new + self.spec_k + 1),
+                            cfg.pad_token_id, jnp.int32),
             rng=self._rng,
         )
 
@@ -214,6 +231,7 @@ class ServingEngine:
         -> state with the chunk grafted into rows ``slots`` (one scatter
         per cache leaf; re-traces once per (width, n) chunk shape)."""
         cfg, max_new = self.cfg, self.cfg.max_new_tokens
+        buf_width = max_new + self.spec_k + 1
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def insert(state, mini, slots, last0, valid):
@@ -233,11 +251,12 @@ class ServingEngine:
             done0 = (last0 == cfg.eos_token_id) | (last0 == cfg.stop_single)
             n = slots.shape[0]
             tokens = state["tokens"].at[slots].set(
-                jnp.full((n, max_new + 1), cfg.pad_token_id, jnp.int32))
+                jnp.full((n, buf_width), cfg.pad_token_id, jnp.int32))
             return dict(
                 cache=cache,
                 length=state["length"].at[slots].set(valid),
                 last=state["last"].at[slots].set(last0),
+                prev=state["prev"].at[slots].set(-1),
                 done=state["done"].at[slots].set(done0),
                 n_emit=state["n_emit"].at[slots].set(0),
                 tokens=tokens,
@@ -294,6 +313,7 @@ class ServingEngine:
                 cache = tuple(dict(c, index=length) for c in cache)
                 return dict(cache=cache, length=length,
                             last=jnp.where(active, nxt, st["last"]),
+                            prev=jnp.where(active, st["last"], st["prev"]),
                             done=done, n_emit=n_emit, tokens=tokens, rng=rng,
                             step=st["step"] + 1,
                             live=st["live"] + jnp.sum(active.astype(jnp.int32)))
@@ -302,20 +322,154 @@ class ServingEngine:
             st = jax.lax.while_loop(cond, body, st)
             nsteps = st.pop("step")
             live = st.pop("live")
-            return st, nsteps, live
+            return st, nsteps, live, jnp.int32(0), jnp.int32(0)
+
+        return run
+
+    def _make_segment_spec(self):
+        """Speculative segment: each round verifies ``spec_k`` n-gram drafts
+        in one forward (up to K+1 tokens per weight pass).  Mirrors
+        generation.speculative_generate's verify round — per-row draft /
+        accept / emit-window / frontier-rewind semantics, here gated on
+        each slot's active flag so free and finished rows stand still.
+        Transcripts stay bit-identical to the greedy path: drafts are only
+        proposals, every emitted token is the model's own greedy argmax."""
+        model, cfg = self.model, self.cfg
+        max_new, rounds, K = self.cfg.max_new_tokens, self.segment, self.spec_k
+        vocab = model.config.vocab_size
+        lookup = (None if self._lookup_ids is None
+                  else jnp.asarray(self._lookup_ids, jnp.int32))
+        lp = 0 if lookup is None else lookup.shape[0]
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run(params, state):
+            b = state["last"].shape[0]
+
+            def draft_tokens(st):
+                # most recent 2-gram (prev,last) match in the shared lookup
+                # corpus + the row's own output, falling back to 1-gram
+                # (generation.speculative_generate.draft_tokens)
+                corpus = (st["tokens"] if lookup is None else jnp.concatenate(
+                    [jnp.broadcast_to(lookup[None], (b, lp)), st["tokens"]],
+                    axis=1))
+                L = corpus.shape[1]
+                pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+                cur = st["n_emit"] + lp
+                nxt = jnp.concatenate(
+                    [corpus[:, 1:], jnp.full((b, 1), -2, jnp.int32)], axis=1)
+                m2 = ((corpus == st["prev"][:, None])
+                      & (nxt == st["last"][:, None])
+                      & (pos + 1 < cur[:, None]))
+                m1 = (corpus == st["last"][:, None]) & (pos < cur[:, None])
+                j2 = jnp.max(jnp.where(m2, pos, -1), axis=1)
+                j1 = jnp.max(jnp.where(m1, pos, -1), axis=1)
+                start = jnp.where(j2 >= 0, j2 + 2, j1 + 1)
+                idx = jnp.clip(
+                    start[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
+                    0, L - 1)
+                return jnp.take_along_axis(corpus, idx, axis=1)
+
+            def cond(st):
+                return jnp.logical_and(st["step"] < rounds,
+                                       ~jnp.all(st["done"]))
+
+            def body(st):
+                active = ~st["done"]
+                draft = jnp.clip(draft_tokens(st), 0, vocab - 1)
+                feed = jnp.concatenate([st["last"][:, None], draft], axis=1)
+                positions = (st["length"][:, None]
+                             + jnp.arange(K + 1, dtype=jnp.int32)[None, :])
+                embeds = model.apply(params, feed,
+                                     method=LlamaForCausalLM.embed)
+                cache = tuple(dict(c, index=st["length"])
+                              for c in st["cache"])
+                logits, cache = model.apply(
+                    params, embeds, positions=positions, cache=cache)
+                g = jnp.argmax(logits.astype(jnp.float32),
+                               axis=-1).astype(jnp.int32)
+                chain = jnp.concatenate([st["last"][:, None], g], axis=1)
+                match = feed[:, 1:] == g[:, :-1]
+                a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                            axis=1)
+
+                # emit chain[0..a] with the greedy loop's exact stop
+                # semantics; done/free rows park an all-pad window
+                window = jnp.full((b, K + 1), cfg.pad_token_id, jnp.int32)
+                done_j = st["done"]
+                n_new = jnp.zeros((b,), jnp.int32)
+                for j in range(K + 1):  # static unroll, K is small
+                    c_j, c_n = chain[:, j], chain[:, j + 1]
+                    valid = (j <= a) & ~done_j
+                    window = window.at[:, j].set(
+                        jnp.where(valid, c_j, cfg.pad_token_id))
+                    stopped = (
+                        (c_n == cfg.eos_token_id)
+                        | (c_n == cfg.stop_single)
+                        | ((c_j == cfg.stop_pair[0])
+                           & (c_n == cfg.stop_pair[1]))
+                    )
+                    done_j = done_j | (valid & stopped)
+                    n_new = n_new + valid.astype(jnp.int32)
+
+                offset = jnp.where(st["done"], max_new,
+                                   jnp.minimum(st["n_emit"], max_new - 1))
+                tokens = jax.vmap(
+                    lambda row, w, o: jax.lax.dynamic_update_slice(row, w, (o,))
+                )(st["tokens"], window, offset)
+                n_emit = st["n_emit"] + n_new
+                done = done_j | (n_emit >= max_new)
+                # restore true frontiers (attention advanced them by K+1);
+                # inactive rows stand still — their junk writes stay at the
+                # frontier, mask-dead
+                length = jnp.where(active, st["length"] + a + 1,
+                                   st["length"])
+                cache = tuple(dict(c, index=length) for c in cache)
+                new_last = jnp.take_along_axis(
+                    chain, (a + 1)[:, None], axis=1)[:, 0]
+                new_prev = jnp.take_along_axis(chain, a[:, None], axis=1)[:, 0]
+                ai = active.astype(jnp.int32)
+                return dict(cache=cache, length=length,
+                            last=jnp.where(active, new_last, st["last"]),
+                            prev=jnp.where(active, new_prev, st["prev"]),
+                            done=done, n_emit=n_emit, tokens=tokens,
+                            rng=st["rng"],
+                            step=st["step"] + 1,
+                            live=st["live"] + jnp.sum(ai),
+                            acc=st["acc"] + jnp.sum(a * ai),
+                            drf=st["drf"] + K * jnp.sum(ai))
+
+            st = dict(state, step=jnp.int32(0), live=jnp.int32(0),
+                      acc=jnp.int32(0), drf=jnp.int32(0))
+            st = jax.lax.while_loop(cond, body, st)
+            nsteps = st.pop("step")
+            live = st.pop("live")
+            acc = st.pop("acc")
+            drf = st.pop("drf")
+            return st, nsteps, live, acc, drf
 
         return run
 
     # ----------------------------------------------------------------- API
+    def set_lookup(self, ids) -> None:
+        """Install the shared prompt-lookup corpus (spec_k > 0).  Must run
+        before the first decode segment compiles — the corpus is baked
+        into the segment program (stale-corpus reuse is exactly the bug
+        Myriad's jit cache keys guard against, models/myriad.py)."""
+        assert self._segment_prog is None, (
+            "set_lookup after the segment program compiled — the corpus is "
+            "baked into it")
+        self._lookup_ids = np.asarray(ids, np.int32).reshape(-1)
+
     def submit(self, embeds, request_id: Optional[int] = None) -> int:
         """Enqueue a request. ``embeds``: (T, D) prompt embeddings."""
         embeds = np.asarray(embeds)
         assert embeds.ndim == 2, "submit expects a single (T, D) prompt"
         t = embeds.shape[0]
-        if t + self.cfg.max_new_tokens + 1 > self.bucket:
+        if t + self.cfg.max_new_tokens + self.spec_k + 1 > self.bucket:
             raise ValueError(
                 f"prompt of {t} tokens + max_new {self.cfg.max_new_tokens} "
-                f"does not fit the {self.bucket}-token bucket")
+                f"(+{self.spec_k + 1} verify slack) does not fit the "
+                f"{self.bucket}-token bucket")
         if t > self.admit_widths[-1]:
             raise ValueError(
                 f"prompt of {t} tokens exceeds the largest admission width "
@@ -377,11 +531,15 @@ class ServingEngine:
         if not occupied:
             return []
         if self._segment_prog is None:
-            self._segment_prog = self._make_segment()
-        self._state, nsteps, live = self._segment_prog(self.params, self._state)
+            self._segment_prog = (self._make_segment_spec() if self.spec_k
+                                  else self._make_segment())
+        self._state, nsteps, live, acc, drf = self._segment_prog(
+            self.params, self._state)
         self.stats["ticks"] += 1
         self.stats["decode_steps"] += int(nsteps)
         self.stats["live_row_steps"] += int(live)
+        self.stats["spec_accepted"] += int(acc)
+        self.stats["spec_drafted"] += int(drf)
 
         done = np.asarray(self._state["done"])
         finished: List[Finished] = []

@@ -54,6 +54,7 @@ class MyriadServing:
         max_new_tokens: int = 90,
         admit_widths=(128, 256, 512),
         stage: int = 1,
+        spec_k: int = 0,
     ):
         self.myriad = myriad
         self.stage = stage
@@ -71,7 +72,7 @@ class MyriadServing:
             llama, {"params": myriad.params["llama"]},
             slots=slots, bucket=bucket, config=self.cfg,
             cache_dtype=cache_dtype, segment=segment,
-            admit_widths=admit_widths)
+            admit_widths=admit_widths, spec_k=spec_k)
         self._embed_progs: Dict[tuple, callable] = {}
         self._meta: Dict[int, Dict] = {}
 
@@ -146,6 +147,13 @@ class MyriadServing:
             samples, self.stage, training=False)
         use_maps = one_maps if m.k_shot > 0 else maps
         before, after = m.split_prompt(question)
+        if (self.engine.spec_k and self.engine._lookup_ids is None
+                and self.engine._segment_prog is None):
+            # shared prompt-lookup corpus from the first request's question:
+            # AQA serving is templated, so the post-image prompt + the
+            # task's answer sentences draft well for every request
+            # (proposals only — other questions just accept less)
+            self.engine.set_lookup(m._spec_lookup_ids(after))
         key = (image.shape, np.asarray(image).dtype.str, before.shape,
                after.shape)
         embeds = np.asarray(self._embed_prog(key)(

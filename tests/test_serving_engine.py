@@ -161,3 +161,56 @@ def test_bounded_program_count(tiny):
     assert eng.stats["completed"] == 8
     # segment early-exit: total decode steps stay near the useful work
     assert eng.stats["decode_steps"] <= 8 * (CFG.max_new_tokens + 16)
+
+
+@pytest.mark.parametrize("with_lookup", [False, True])
+def test_spec_engine_matches_solo_greedy(tiny, with_lookup):
+    """spec_k>0: every transcript still equals solo greedy_generate —
+    drafts are proposals, acceptance only changes speed.  With a lookup
+    corpus built from the expected outputs, drafts actually hit
+    (accepted > 0), proving the fast path is exercised, not bypassed."""
+    model, params = tiny
+    rng = np.random.default_rng(9)
+    dim = model.config.hidden_size
+    lengths = [9, 5, 12, 3]
+    prompts = _prompts(rng, lengths, dim)
+    refs = [_reference(model, params, p, CFG, jnp.float32) for p in prompts]
+    lookup = np.concatenate(refs) if with_lookup else None
+
+    eng = ServingEngine(model, params, slots=2, bucket=64, config=CFG,
+                        cache_dtype=jnp.float32, segment=3,
+                        admit_widths=(8, 16), spec_k=3, lookup_ids=lookup)
+    for i, p in enumerate(prompts):
+        eng.submit(p, request_id=i)
+    results = {f.request_id: f.tokens for f in eng.drain()}
+    for i, ref in enumerate(refs):
+        np.testing.assert_array_equal(results[i], ref, err_msg=f"request {i}")
+    assert eng.stats["spec_drafted"] > 0
+    if with_lookup:
+        assert eng.stats["spec_accepted"] > 0
+
+
+def test_spec_engine_slot_reuse_and_stops(tiny):
+    """spec with real stop ids + dirty slot reuse: transcripts match the
+    solo greedy run and early-stopping rows free their slots."""
+    model, params = tiny
+    rng = np.random.default_rng(13)
+    dim = model.config.hidden_size
+    prompts = _prompts(rng, [11, 4, 7], dim)
+    probe = np.asarray(greedy_generate(
+        model, params, prompts[0][None],
+        config=GenerationConfig(max_new_tokens=8, eos_token_id=-1,
+                                stop_single=-1, stop_pair=(-1, -1)),
+        cache_dtype=jnp.float32))[0]
+    cfg = GenerationConfig(max_new_tokens=8, eos_token_id=-1,
+                           stop_single=int(probe[3]), stop_pair=(-1, -1))
+    eng = ServingEngine(model, params, slots=1, bucket=64, config=cfg,
+                        cache_dtype=jnp.float32, segment=4,
+                        admit_widths=(16,), spec_k=2)
+    for i, p in enumerate(prompts):
+        eng.submit(p, request_id=i)
+    results = {f.request_id: f.tokens for f in eng.drain()}
+    for i, p in enumerate(prompts):
+        np.testing.assert_array_equal(
+            results[i], _reference(model, params, p, cfg, jnp.float32))
+    assert len(results[0]) < cfg.max_new_tokens

@@ -55,3 +55,20 @@ def test_adapter_matches_generate(myriad_tiny):
         assert isinstance(results[rid]["text"], str)
         assert results[rid]["scene"] == "bottle"
     assert serving.stats["completed"] == 3
+
+
+def test_adapter_spec_matches_generate(myriad_tiny):
+    """spec_k>0 at the adapter level: the shared prompt-lookup corpus is
+    installed from the first request and transcripts still match
+    Myriad.generate exactly."""
+    m = myriad_tiny
+    samples = [_sample(5), _sample(6), _sample(7)]
+    serving = MyriadServing(m, slots=2, segment=3, max_new_tokens=6,
+                            admit_widths=(160, 256), spec_k=2)
+    ids = [serving.submit(s) for s in samples]
+    results = {r["request_id"]: r for r in serving.drain()}
+    for rid, s in zip(ids, samples):
+        ref = m.generate(s, max_new_tokens=6)
+        want = _trim(np.asarray(ref["token_ids"])[0], serving.cfg)
+        np.testing.assert_array_equal(results[rid]["token_ids"], want)
+    assert serving.stats["spec_drafted"] > 0

@@ -47,6 +47,10 @@ def main():
                    choices=["burst", "trickle"])
     p.add_argument("--arrive", type=int, default=8,
                    help="trickle mode: requests arriving per tick")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="speculative decoding inside the engine: verify K "
+                        "prompt-lookup drafts per weight pass "
+                        "(transcript-exact; reports acceptance)")
     p.add_argument("--quant", type=str, default="int8",
                    choices=["none", "int8"])
     p.add_argument("--kv", type=str, default="int8", choices=["bf16", "int8"])
@@ -116,7 +120,7 @@ def main():
     serving = MyriadServing(
         model, slots=args.slots, segment=args.segment,
         max_new_tokens=args.max_new,
-        admit_widths=(64, 160, 320))
+        admit_widths=(64, 160, 320), spec_k=args.spec)
     # embed-group size the timed run will use — warm the SAME shapes, or
     # their compiles land inside the measured window
     group = min(16, args.arrive if args.mode == "trickle" else 16,
@@ -167,10 +171,11 @@ def main():
     n = len(finish_wall)
     throughput = n / wall
     stats = serving.stats
+    spec_tag = f", spec {args.spec}" if args.spec else ""
     result = {
         "metric": f"serving req/s ({args.mode} arrivals, {args.slots} slots, "
                   f"segment {args.segment}, {args.max_new}-token answers, "
-                  f"weights {args.quant}, kv {args.kv})",
+                  f"weights {args.quant}, kv {args.kv}{spec_tag})",
         "value": round(throughput, 4),
         "unit": "requests/sec",
         "requests": n,
@@ -184,6 +189,9 @@ def main():
             3),
         "compile_s": round(compile_s, 1),
     }
+    if args.spec:
+        result["spec_acceptance"] = round(
+            stats["spec_accepted"] / max(stats["spec_drafted"], 1), 3)
     print(json.dumps(result))
 
 
