@@ -22,8 +22,9 @@ Design notes (TPU/XLA constraints drive everything):
 * **Static shapes everywhere.** The slot pool (B), the KV bucket (T), the
   admission widths and the segment length are all compile-time constants;
   the *contents* (frontiers, stop flags, output offsets) are traced state.
-  Program count is bounded: one prefill + one insert program per admission
-  width, one segment program — regardless of traffic.
+  Program count is bounded: one prefill/insert pair per (admission width,
+  power-of-two chunk size <= max_admit_chunk), one segment program —
+  regardless of traffic.
 * **Per-row frontiers are already exact.** llama.py's single mask
   predicate (cache slot ``p`` attended iff ``p <= query position``) makes
   slot reuse safe with no explicit invalidation: a freed slot's stale KV
@@ -97,7 +98,12 @@ class ServingEngine:
       cache_dtype: KV dtype (e.g. ``jnp.bfloat16`` or ``"int8"``).
       segment: decode steps per compiled tick between host syncs.
       admit_widths: admission padding ladder; a prompt admits at the
-        smallest width >= its length (one prefill program per width).
+        smallest width >= its length (one prefill program per width and
+        power-of-two chunk size).
+      max_admit_chunk: cap on requests prefilled per admission chunk.
+      mesh: optional ('data','model') mesh — shards the KV cache over
+        heads on the model axis (see __init__ note).
+      spec_k / lookup_ids: speculative verify rounds (see __init__ note).
     """
 
     def __init__(
