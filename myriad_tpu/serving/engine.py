@@ -72,17 +72,26 @@ from myriad_tpu.models.llama import LlamaForCausalLM, init_cache
 
 @dataclasses.dataclass
 class Finished:
-    """A completed request: trimmed token ids (stop/eos/pad removed)."""
+    """A completed request: trimmed token ids (stop/eos/pad removed).
+
+    ``raw_tokens`` is the untrimmed emitted stream (every token whose KV
+    was written) — a held conversation's next turn continues after these,
+    so the caller composing the turn-2 delta must account for them, not
+    for the trimmed text.  ``held`` marks a slot kept resident for
+    ``continue_request``."""
 
     request_id: int
     tokens: np.ndarray  # (n,) int32, n <= max_new_tokens
     n_prompt: int
+    raw_tokens: Optional[np.ndarray] = None
+    held: bool = False
 
 
 @dataclasses.dataclass
 class _Pending:
     request_id: int
     embeds: np.ndarray  # (T, D)
+    hold: bool = False
 
 
 class ServingEngine:
@@ -160,6 +169,9 @@ class ServingEngine:
         self._queue: List[_Pending] = []
         self._slot_req: List[Optional[int]] = [None] * self.slots
         self._slot_prompt_len: List[int] = [0] * self.slots
+        self._slot_hold: List[bool] = [False] * self.slots
+        self._held: Dict[int, int] = {}      # finished handle -> resident slot
+        self._cont_queue: List[Tuple[int, _Pending]] = []  # (slot, delta)
         self._next_id = 0
         # live_row_steps / (decode_steps * slots) = slot occupancy
         # (decode_steps counts verify ROUNDS when spec_k > 0);
@@ -170,8 +182,10 @@ class ServingEngine:
 
         self._state = self._init_state()
         self._prefill_progs: Dict[int, callable] = {}
+        self._cont_progs: Dict[int, callable] = {}
         self._insert_prog = None
         self._segment_prog = None
+        self._slot_want_hold: List[bool] = [False] * self.slots
 
     # ---------------------------------------------------------------- state
     def _init_state(self):
@@ -270,6 +284,78 @@ class ServingEngine:
             )
 
         return insert
+
+    def _continue_prog(self, width: int):
+        """(params, state, delta (B,width,D), mask (B,), valid (B,), rng) ->
+        state with masked rows re-armed after an in-place prefill of their
+        deltas at their resident frontiers.
+
+        The whole batch runs through the prefill (static shapes): rows not
+        continuing feed zeros and have their frontier rewound afterwards —
+        their junk writes sit at/after the frontier, which the position
+        mask excludes until decode overwrites them (the continue_generate
+        invariant), so mid-decode co-residents are untouched (tested)."""
+        if width in self._cont_progs:
+            return self._cont_progs[width]
+        model, cfg = self.model, self.cfg
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def cont(params, state, delta, mask, valid, rng):
+            length = state["length"]
+            cache = tuple(dict(c, index=length) for c in state["cache"])
+            li = jnp.clip(valid - 1, 0, width - 1)
+            logits, cache = model.apply(
+                params, delta, cache=cache, last_index=li,
+                method=LlamaForCausalLM.prefill)
+            last0 = _select_token(logits[:, -1].astype(jnp.float32), cfg, rng)
+            new_len = jnp.where(mask, length + valid, length)
+            cache = tuple(dict(c, index=new_len) for c in cache)
+            done0 = (last0 == cfg.eos_token_id) | (last0 == cfg.stop_single)
+            pad_rows = jnp.full_like(state["tokens"], cfg.pad_token_id)
+            return dict(
+                cache=cache,
+                length=new_len,
+                last=jnp.where(mask, last0, state["last"]),
+                prev=jnp.where(mask, -1, state["prev"]),
+                done=jnp.where(mask, done0, state["done"]),
+                n_emit=jnp.where(mask, 0, state["n_emit"]),
+                tokens=jnp.where(mask[:, None], pad_rows, state["tokens"]),
+                rng=state["rng"],
+            )
+
+        self._cont_progs[width] = cont
+        return cont
+
+    def _process_continuations(self) -> None:
+        """Run queued turn deltas, batched per admission width: ONE
+        full-batch prefill re-arms every continuing row at that width."""
+        if not self._cont_queue:
+            return
+        by_width: Dict[int, List[Tuple[int, _Pending]]] = {}
+        for slot, req in self._cont_queue:
+            width = next(w for w in self.admit_widths
+                         if w >= max(req.embeds.shape[0], self.spec_k + 1))
+            by_width.setdefault(width, []).append((slot, req))
+        self._cont_queue.clear()
+        b, d = self.slots, self.model.config.hidden_size
+        for width, items in by_width.items():
+            delta = np.zeros((b, width, d), items[0][1].embeds.dtype)
+            mask = np.zeros((b,), bool)
+            valid = np.zeros((b,), np.int32)
+            for slot, req in items:
+                t = req.embeds.shape[0]
+                delta[slot, :t] = req.embeds
+                mask[slot] = True
+                valid[slot] = t
+            self._rng, sub = jax.random.split(self._rng)
+            self._state = self._continue_prog(width)(
+                self.params, self._state, jnp.asarray(delta),
+                jnp.asarray(mask), jnp.asarray(valid), sub)
+            for slot, req in items:
+                self._slot_req[slot] = req.request_id
+                self._slot_hold[slot] = False
+                self._slot_want_hold[slot] = req.hold
+                self._slot_prompt_len[slot] += req.embeds.shape[0]
 
     def _make_segment(self):
         """(params, state) -> state advanced by up to ``segment`` decode
@@ -466,15 +552,27 @@ class ServingEngine:
             "baked into it")
         self._lookup_ids = np.asarray(ids, np.int32).reshape(-1)
 
-    def submit(self, embeds, request_id: Optional[int] = None) -> int:
-        """Enqueue a request. ``embeds``: (T, D) prompt embeddings."""
+    def submit(self, embeds, request_id: Optional[int] = None,
+               hold: bool = False) -> int:
+        """Enqueue a request. ``embeds``: (T, D) prompt embeddings.
+
+        ``hold=True`` keeps the slot (prompt + generated KV) resident
+        after the request finishes, so ``continue_request`` can extend the
+        conversation with only the next turn's delta — the engine-level
+        form of the incremental chat primitive
+        (generation.continue_generate)."""
         embeds = np.asarray(embeds)
         assert embeds.ndim == 2, "submit expects a single (T, D) prompt"
         t = embeds.shape[0]
-        if t + self.cfg.max_new_tokens + self.spec_k + 1 > self.bucket:
+        # slack = 2K+1: a verify round can overshoot max_new by K emitted
+        # tokens (frontier t+max_new+K), and a finished-but-resident row
+        # keeps junk-writing K+1 positions at its frontier while
+        # co-residents decode — the junk must stay inside the bucket or
+        # the clamped write would clobber a HELD row's own history tail
+        if t + self.cfg.max_new_tokens + 2 * self.spec_k + 1 > self.bucket:
             raise ValueError(
                 f"prompt of {t} tokens + max_new {self.cfg.max_new_tokens} "
-                f"(+{self.spec_k + 1} verify slack) does not fit the "
+                f"(+{2 * self.spec_k + 1} verify slack) does not fit the "
                 f"{self.bucket}-token bucket")
         if t > self.admit_widths[-1]:
             raise ValueError(
@@ -482,15 +580,54 @@ class ServingEngine:
                 f"{self.admit_widths[-1]}")
         rid = self._next_id if request_id is None else request_id
         self._next_id = max(self._next_id, rid) + 1
-        self._queue.append(_Pending(rid, embeds))
+        self._queue.append(_Pending(rid, embeds, hold))
         self.stats["submitted"] += 1
         return rid
+
+    def continue_request(self, handle: int, delta_embeds,
+                         request_id: Optional[int] = None,
+                         hold: bool = False) -> int:
+        """Extend a held conversation (``handle``: the finished request's
+        id) with the next turn's (T_delta, D) embeddings.  The delta
+        prefills IN PLACE at the slot's resident frontier (positions and
+        causality derive from it — continue_generate's exactness
+        argument), so per-turn cost is O(delta), not O(history).  The
+        caller's delta must account for the previous turn's RAW emitted
+        tokens (Finished.raw_tokens), which are already KV-resident."""
+        if handle not in self._held:
+            raise KeyError(f"no held conversation {handle} "
+                           f"(held: {sorted(self._held)})")
+        delta_embeds = np.asarray(delta_embeds)
+        assert delta_embeds.ndim == 2, "continue expects a (T, D) delta"
+        t = delta_embeds.shape[0]
+        if t > self.admit_widths[-1]:
+            raise ValueError(f"delta of {t} tokens exceeds the largest "
+                             f"admission width {self.admit_widths[-1]}")
+        slot = self._held.pop(handle)
+        frontier = int(np.asarray(self._state["length"])[slot])
+        if (frontier + t + self.cfg.max_new_tokens + 2 * self.spec_k + 1
+                > self.bucket):  # slack rationale: see submit
+            self._held[handle] = slot  # lease unchanged on rejection
+            raise ValueError(
+                f"conversation at frontier {frontier} + delta {t} + max_new "
+                f"{self.cfg.max_new_tokens} overflows the {self.bucket} bucket")
+        rid = self._next_id if request_id is None else request_id
+        self._next_id = max(self._next_id, rid) + 1
+        self._cont_queue.append((slot, _Pending(rid, delta_embeds, hold)))
+        self.stats["submitted"] += 1
+        return rid
+
+    def release(self, handle: int) -> None:
+        """Free a held conversation's slot."""
+        slot = self._held.pop(handle)
+        self._slot_hold[slot] = False
 
     def _admit_pending(self) -> None:
         """Admit queued requests into free slots: group by admission width,
         then prefill + graft in power-of-two chunks (2 dispatches per
         chunk, not per request; programs bounded at widths x log2(slots))."""
-        free = [s for s in range(self.slots) if self._slot_req[s] is None]
+        free = [s for s in range(self.slots)
+                if self._slot_req[s] is None and not self._slot_hold[s]]
         take = min(len(free), len(self._queue))
         if not take:
             return
@@ -527,11 +664,13 @@ class ServingEngine:
         for (slot, req), t in zip(items, valid):
             self._slot_req[slot] = req.request_id
             self._slot_prompt_len[slot] = int(t)
+            self._slot_want_hold[slot] = req.hold
 
     def step(self) -> List[Finished]:
         """One scheduler tick: admit pending requests into free slots, run
         one decode segment, collect finished rows.  Returns the requests
         that completed this tick."""
+        self._process_continuations()
         self._admit_pending()
         occupied = [s for s in range(self.slots) if self._slot_req[s] is not None]
         if not occupied:
@@ -551,29 +690,40 @@ class ServingEngine:
         finished: List[Finished] = []
         if any(done[s] for s in occupied):
             tokens = np.asarray(self._state["tokens"])
+            n_emit = np.asarray(self._state["n_emit"])
             for s in occupied:
                 if not done[s]:
                     continue
+                rid = self._slot_req[s]
+                hold = self._slot_want_hold[s]
                 finished.append(Finished(
-                    request_id=self._slot_req[s],
+                    request_id=rid,
                     tokens=self._trim(tokens[s]),
-                    n_prompt=self._slot_prompt_len[s]))
+                    n_prompt=self._slot_prompt_len[s],
+                    raw_tokens=np.asarray(tokens[s][: n_emit[s]], np.int32),
+                    held=hold))
                 self._slot_req[s] = None
+                if hold:
+                    self._slot_hold[s] = True
+                    self._held[rid] = s
             self.stats["completed"] += len(finished)
         return finished
 
     def drain(self, max_ticks: int = 10_000) -> List[Finished]:
-        """Run ticks until the queue and every slot are empty."""
+        """Run ticks until the queue, turn queue and every active slot are
+        empty (held conversations idle without blocking the drain)."""
         out: List[Finished] = []
         for _ in range(max_ticks):
-            if not self._queue and all(r is None for r in self._slot_req):
+            if (not self._queue and not self._cont_queue
+                    and all(r is None for r in self._slot_req)):
                 return out
             out.extend(self.step())
         raise RuntimeError("drain did not converge (stuck request?)")
 
     @property
     def pending(self) -> int:
-        return len(self._queue) + sum(r is not None for r in self._slot_req)
+        return (len(self._queue) + len(self._cont_queue)
+                + sum(r is not None for r in self._slot_req))
 
     def _trim(self, row: np.ndarray) -> np.ndarray:
         """Trim a raw output row at stop/eos/pad (the shared stop-protocol

@@ -66,8 +66,10 @@ class MyriadServing:
                                           myriad.policy.compute_dtype)
         if bucket is None:
             # round to the KV tile granularity (int8 cache payloads tile T
-            # in 32s; unaligned buckets just waste a partial tile)
-            bucket = -(-(max(admit_widths) + max_new_tokens + 1) // 32) * 32
+            # in 32s; unaligned buckets just waste a partial tile); slack
+            # rationale: ServingEngine.submit
+            bucket = -(-(max(admit_widths) + max_new_tokens + 2 * spec_k + 1)
+                       // 32) * 32
         self.engine = ServingEngine(
             llama, {"params": myriad.params["llama"]},
             slots=slots, bucket=bucket, config=self.cfg,

@@ -214,3 +214,61 @@ def test_spec_engine_slot_reuse_and_stops(tiny):
         np.testing.assert_array_equal(
             results[i], _reference(model, params, p, cfg, jnp.float32))
     assert len(results[0]) < cfg.max_new_tokens
+
+
+@pytest.mark.parametrize("spec_k", [0, 2])
+def test_hold_and_continue_multi_turn(tiny, spec_k):
+    """Held conversations: turn 2 decodes from the RESIDENT cache (prompt +
+    turn-1 raw tokens) extended by only the delta, and must match a full
+    greedy run over the concatenated history — while an unrelated request
+    co-resides mid-decode.  Released handles free their slot."""
+    model, params = tiny
+    rng = np.random.default_rng(21)
+    dim = model.config.hidden_size
+    p1, p2, other = _prompts(rng, [7, 5, 12], dim)
+
+    eng = ServingEngine(model, params, slots=2, bucket=64, config=CFG,
+                        cache_dtype=jnp.float32, segment=3,
+                        admit_widths=(8, 16), spec_k=spec_k)
+    h = eng.submit(p1, hold=True)
+    (f1,) = eng.drain()
+    assert f1.held and f1.request_id == h
+    np.testing.assert_array_equal(
+        f1.tokens, _reference(model, params, p1, CFG, jnp.float32))
+
+    # an unrelated request decodes while the turn-2 delta prefills in place
+    rid_other = eng.submit(other)
+    eng.step()
+    rid2 = eng.continue_request(h, p2, hold=True)
+    results = {f.request_id: f for f in eng.drain()}
+
+    emb_a1 = np.asarray(model.apply(
+        params, jnp.asarray(f1.raw_tokens)[None],
+        method=type(model).embed))[0]
+    full = jnp.concatenate([p1, jnp.asarray(emb_a1), p2], axis=0)
+    np.testing.assert_array_equal(
+        results[rid2].tokens,
+        _reference(model, params, full, CFG, jnp.float32))
+    np.testing.assert_array_equal(
+        results[rid_other].tokens,
+        _reference(model, params, other, CFG, jnp.float32))
+
+    # turn 3 after a turn-2 hold; then release frees the slot for reuse
+    p3 = _prompts(rng, [4], dim)[0]
+    rid3 = eng.continue_request(rid2, p3)
+    (f3,) = eng.drain()
+    emb_a2 = np.asarray(model.apply(
+        params, jnp.asarray(results[rid2].raw_tokens)[None],
+        method=type(model).embed))[0]
+    full3 = jnp.concatenate([full, jnp.asarray(emb_a2), p3], axis=0)
+    np.testing.assert_array_equal(
+        f3.tokens, _reference(model, params, full3, CFG, jnp.float32))
+    assert not f3.held  # hold defaults off on the last turn
+
+    with pytest.raises(KeyError):
+        eng.continue_request(999, p2)
+    # both slots free again: two fresh requests admit simultaneously
+    for i, p in enumerate(_prompts(rng, [6, 9], dim)):
+        eng.submit(p, request_id=100 + i)
+    got = {f.request_id for f in eng.drain()}
+    assert got == {100, 101}
