@@ -174,6 +174,50 @@ class MyriadServing:
             rids.append(rid)
         return rids
 
+    def submit_held(self, samples: Dict) -> int:
+        """submit() but the slot stays KV-resident after completion, for
+        continue_request turns."""
+        rids = self._submit_group(samples)
+        assert len(rids) == 1, "submit_held takes a single-image sample"
+        # flip the just-queued request's hold flag
+        self.engine._queue[-1].hold = True
+        return rids[0]
+
+    def continue_request(self, handle: int, text: str, *,
+                         hold: bool = True,
+                         request_id: Optional[int] = None) -> int:
+        """Extend a held conversation with the next turn's TEXT.  The
+        delta is just the new text's token embeddings — the previous
+        turn's prompt and answer are already KV-resident (the engine's
+        continue_generate-exact in-place prefill)."""
+        tok = self.myriad.llama_tokenizer(text, add_special_tokens=False)
+        ids = tok["input_ids"]
+        if ids and isinstance(ids[0], list):
+            ids = ids[0]
+        ids = np.asarray(ids, np.int32)
+        # embed through a width-bucketed program (bounded program count),
+        # slice back to the true length host-side
+        width = int(min(w for w in self.engine.admit_widths
+                        if w >= max(len(ids), 1)))
+        padded = np.zeros((1, width), np.int32)
+        padded[0, : len(ids)] = ids
+        key = ("embed_ids", width)
+        if key not in self._embed_progs:
+            model = self.engine.model
+            self._embed_progs[key] = jax.jit(
+                lambda p, i: model.apply(p, i, method=type(model).embed))
+        emb = np.asarray(self._embed_progs[key](
+            self.engine.params, jnp.asarray(padded)))[0, : len(ids)]
+        rid = self.engine.continue_request(handle, emb, hold=hold,
+                                           request_id=request_id)
+        self._meta[rid] = {"question": text,
+                           **{k: v for k, v in self._meta.get(handle, {}).items()
+                              if k == "scene"}}
+        return rid
+
+    def release(self, handle: int) -> None:
+        self.engine.release(handle)
+
     def step(self) -> List[Dict]:
         return [self._render(f) for f in self.engine.step()]
 
@@ -182,9 +226,13 @@ class MyriadServing:
 
     def _render(self, finished) -> Dict:
         text = self.myriad.llama_tokenizer.decode(finished.tokens.tolist())
-        meta = self._meta.pop(finished.request_id, {})
+        if finished.held:  # keep meta: continue_request inherits the scene
+            meta = self._meta.get(finished.request_id, {})
+        else:
+            meta = self._meta.pop(finished.request_id, {})
         return dict(request_id=finished.request_id, text=text,
-                    token_ids=finished.tokens, **meta)
+                    token_ids=finished.tokens, held=finished.held,
+                    raw_tokens=finished.raw_tokens, **meta)
 
     @property
     def pending(self) -> int:

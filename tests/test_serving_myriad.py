@@ -72,3 +72,51 @@ def test_adapter_spec_matches_generate(myriad_tiny):
         want = _trim(np.asarray(ref["token_ids"])[0], serving.cfg)
         np.testing.assert_array_equal(results[rid]["token_ids"], want)
     assert serving.stats["spec_drafted"] > 0
+
+
+def test_adapter_multi_turn_chat(myriad_tiny):
+    """Text-level turns on held conversations: turn-2 answers must equal a
+    fresh engine request whose prompt is the full concatenated history
+    (image prompt + raw turn-1 tokens + turn text)."""
+    m = myriad_tiny
+    serving = MyriadServing(m, slots=2, segment=4, max_new_tokens=5,
+                            admit_widths=(160, 256), bucket=512)
+    h1 = serving.submit_held(_sample(11))
+    h2 = serving.submit_held(_sample(12))
+    first = {r["request_id"]: r for r in serving.drain()}
+    assert all(r["held"] for r in first.values())
+
+    turn = "###Human: does the defect affect function?###Assistant: "
+    t1 = serving.continue_request(h1, turn, hold=False)
+    t2 = serving.continue_request(h2, turn, hold=False)
+    second = {r["request_id"]: r for r in serving.drain()}
+    assert sorted(second) == sorted([t1, t2])
+    assert not any(r["held"] for r in second.values())
+    assert second[t1]["scene"] == "bottle"  # meta survives the held turn
+
+    # reference: replay conversation h1 as one flat prompt on the engine
+    import jax.numpy as jnp
+
+    from myriad_tpu.models.myriad import MyriadModule
+
+    s = _sample(11)
+    image, question, _, maps, _ = m.prepare_sample(s, 1, training=False)
+    before, after = m.split_prompt(question)
+    emb = serving._embed_prog(
+        (image.shape, np.asarray(image).dtype.str, before.shape, after.shape))(
+        m.params, jnp.asarray(image), maps, jnp.asarray(before),
+        jnp.asarray(after))
+    eng = serving.engine
+    f1_raw = first[h1]["raw_tokens"]  # the KV-resident emitted stream
+    tok = m.llama_tokenizer(turn, add_special_tokens=False)["input_ids"]
+    tok = tok[0] if tok and isinstance(tok[0], list) else tok
+    ans_emb = eng.model.apply(eng.params, jnp.asarray(f1_raw, jnp.int32)[None],
+                              method=type(eng.model).embed)[0]
+    turn_emb = eng.model.apply(eng.params, jnp.asarray(tok, jnp.int32)[None],
+                               method=type(eng.model).embed)[0]
+    flat = np.concatenate([np.asarray(emb)[0], np.asarray(ans_emb),
+                           np.asarray(turn_emb)])
+    rid_ref = eng.submit(flat)
+    (ref,) = eng.drain()
+    assert ref.request_id == rid_ref
+    np.testing.assert_array_equal(second[t1]["token_ids"], ref.tokens)

@@ -44,9 +44,11 @@ def main():
                         "~0.5 s remote-dispatch cost)")
     p.add_argument("--max-new", type=int, default=90)
     p.add_argument("--mode", type=str, default="burst",
-                   choices=["burst", "trickle"])
+                   choices=["burst", "trickle", "chat"])
     p.add_argument("--arrive", type=int, default=8,
                    help="trickle mode: requests arriving per tick")
+    p.add_argument("--turns", type=int, default=4,
+                   help="chat mode: turns per held conversation")
     p.add_argument("--spec", type=int, default=0, metavar="K",
                    help="speculative decoding inside the engine: verify K "
                         "prompt-lookup drafts per weight pass "
@@ -117,9 +119,18 @@ def main():
         }
 
     requests = [make_request(i) for i in range(args.requests)]
+    bucket = None
+    if args.mode == "chat":
+        # conversations grow per turn: prompt + (turns+1) x (delta+answer);
+        # fewer slots keep the bigger bucket inside the KV budget
+        args.slots = min(args.slots, 16)
+        ids = model.llama_tokenizer(TURN_TEXT, add_special_tokens=False)["input_ids"]
+        delta = len(ids[0] if ids and isinstance(ids[0], list) else ids)
+        bucket = -(-(320 + (args.turns + 1) * (delta + args.max_new)
+                     + 2 * args.spec + 1) // 32) * 32
     serving = MyriadServing(
         model, slots=args.slots, segment=args.segment,
-        max_new_tokens=args.max_new,
+        max_new_tokens=args.max_new, bucket=bucket,
         admit_widths=(64, 160, 320), spec_k=args.spec)
     # embed-group size the timed run will use — warm the SAME shapes, or
     # their compiles land inside the measured window
@@ -139,6 +150,10 @@ def main():
     print(f"[engineprobe] warm {compile_s:.1f}s", file=sys.stderr)
     for k in serving.stats:
         serving.stats[k] = 0
+
+    if args.mode == "chat":
+        run_chat_mode(args, serving, requests, compile_s)
+        return
 
     submit_wall = {}
     finish_wall = {}
@@ -192,6 +207,63 @@ def main():
     if args.spec:
         result["spec_acceptance"] = round(
             stats["spec_accepted"] / max(stats["spec_drafted"], 1), 3)
+    print(json.dumps(result))
+
+
+TURN_TEXT = ("###Human: and what about the texture region, does it "
+             "look defective there?###Assistant: ")
+
+
+def run_chat_mode(args, serving, requests, compile_s):
+    """C = slots concurrent held conversations x --turns turns each:
+    every turn is an O(delta) in-place prefill against the resident cache
+    while the other conversations' turns decode alongside.  Reports
+    turns/sec and per-turn latency percentiles."""
+    convs = min(args.slots, len(requests))
+    turn_text = TURN_TEXT
+
+    t0 = time.time()
+    handles = [serving.submit_held(r) for r in requests[:convs]]
+    for r in serving.drain():
+        assert r["held"]
+    # one warm turn (compiles the continuation + embed-id programs)
+    handles = [serving.continue_request(h, turn_text, hold=True)
+               for h in handles]
+    for r in serving.drain():
+        assert r["held"]
+    warm_s = time.time() - t0
+    print(f"[engineprobe] chat warm {warm_s:.1f}s", file=sys.stderr)
+
+    lat = []
+    t_start = time.time()
+    done_turns = 0
+    for _ in range(args.turns):
+        t_turn = time.time()
+        handles = [serving.continue_request(h, turn_text, hold=True)
+                   for h in handles]
+        finished = serving.drain()
+        assert len(finished) == convs
+        lat.append(time.time() - t_turn)
+        done_turns += convs
+    wall = time.time() - t_start
+
+    lat = np.asarray(lat)
+    result = {
+        "metric": f"chat turns/s ({convs} concurrent conversations, "
+                  f"{args.max_new}-token answers, segment {args.segment}"
+                  f"{', spec ' + str(args.spec) if args.spec else ''})",
+        "value": round(done_turns / wall, 4),
+        "unit": "turns/sec",
+        "turns": done_turns,
+        "wall_s": round(wall, 2),
+        "turn_round_p50_s": round(float(np.percentile(lat, 50)), 3),
+        "turn_round_p95_s": round(float(np.percentile(lat, 95)), 3),
+        "compile_s": round(compile_s + 0.0, 1),
+    }
+    if args.spec:
+        s = serving.stats
+        result["spec_acceptance"] = round(
+            s["spec_accepted"] / max(s["spec_drafted"], 1), 3)
     print(json.dumps(result))
 
 

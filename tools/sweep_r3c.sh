@@ -64,3 +64,6 @@ eprobe trickle --mode trickle --arrive 16 --requests 192 --slots 48 --segment 64
 # spec inside the engine: prompt-lookup drafts, fewer weight passes per
 # token at the online regime's spec-optimal slot count (b24, BENCH_NOTES)
 eprobe spec --mode burst --requests 96 --slots 24 --segment 16 --spec 3
+# multi-turn chat serving: 16 concurrent KV-resident conversations,
+# O(delta) turns (vs chatprobe's single-conversation latency)
+eprobe chat --mode chat --turns 4 --slots 16 --segment 32
