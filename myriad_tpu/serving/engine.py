@@ -102,7 +102,8 @@ class ServingEngine:
         (params are passed to every program, never closed over).
       slots: KV rows decoded together (the engine's max concurrency).
       bucket: per-slot KV capacity; every request needs
-        ``prompt_len + max_new_tokens + 1 <= bucket``.
+        ``prompt_len + max_new_tokens + 2*spec_k + 1 <= bucket`` (slack
+        rationale in ``submit``).
       config: ``GenerationConfig`` (stop ids / sampling / max_new_tokens).
       cache_dtype: KV dtype (e.g. ``jnp.bfloat16`` or ``"int8"``).
       segment: decode steps per compiled tick between host syncs.
@@ -172,6 +173,9 @@ class ServingEngine:
         self._slot_hold: List[bool] = [False] * self.slots
         self._held: Dict[int, int] = {}      # finished handle -> resident slot
         self._cont_queue: List[Tuple[int, _Pending]] = []  # (slot, delta)
+        # host mirror of per-slot frontiers (refreshed each tick): capacity
+        # checks in continue_request need no device sync of their own
+        self._frontier_host = np.zeros((self.slots,), np.int64)
         self._next_id = 0
         # live_row_steps / (decode_steps * slots) = slot occupancy
         # (decode_steps counts verify ROUNDS when spec_k > 0);
@@ -285,77 +289,104 @@ class ServingEngine:
 
         return insert
 
-    def _continue_prog(self, width: int):
-        """(params, state, delta (B,width,D), mask (B,), valid (B,), rng) ->
-        state with masked rows re-armed after an in-place prefill of their
-        deltas at their resident frontiers.
+    def _continue_prog(self, width: int, m: int):
+        """(params, state, delta (m,width,D), slots (m,), valid (m,), rng)
+        -> state with the m continuing rows re-armed after an in-place
+        prefill of their deltas at their resident frontiers.
 
-        The whole batch runs through the prefill (static shapes): rows not
-        continuing feed zeros and have their frontier rewound afterwards —
-        their junk writes sit at/after the frontier, which the position
-        mask excludes until decode overwrites them (the continue_generate
-        invariant), so mid-decode co-residents are untouched (tested)."""
-        if width in self._cont_progs:
-            return self._cont_progs[width]
+        ONLY the continuing rows run: their cache rows are gathered into an
+        (m, ...) mini view, prefilled (positions/causality derive from the
+        gathered per-row frontiers — continue_generate's exactness
+        argument), and scattered back.  Rows not continuing are never
+        touched — crucial, because a prefill over the FULL batch would
+        junk-write ``width`` positions at every co-resident's frontier,
+        and the per-row cache write clamps at the bucket edge, silently
+        overwriting a near-capacity row's own history tail (review r3c
+        finding; the 2-row gather/scatter copy is the price of safety and
+        also skips the wasted co-resident FLOPs)."""
+        key = (width, m)
+        if key in self._cont_progs:
+            return self._cont_progs[key]
         model, cfg = self.model, self.cfg
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def cont(params, state, delta, mask, valid, rng):
-            length = state["length"]
-            cache = tuple(dict(c, index=length) for c in state["cache"])
+        def cont(params, state, delta, slots, valid, rng):
+            mini = tuple({k: c[k][slots] for k in c} for c in state["cache"])
             li = jnp.clip(valid - 1, 0, width - 1)
-            logits, cache = model.apply(
-                params, delta, cache=cache, last_index=li,
+            logits, mini = model.apply(
+                params, delta, cache=mini, last_index=li,
                 method=LlamaForCausalLM.prefill)
             last0 = _select_token(logits[:, -1].astype(jnp.float32), cfg, rng)
-            new_len = jnp.where(mask, length + valid, length)
-            cache = tuple(dict(c, index=new_len) for c in cache)
+            new_len = state["length"][slots] + valid
+            cache = tuple(
+                dict(
+                    {k: bc[k].at[slots].set(mc[k]) for k in bc if k != "index"},
+                    index=bc["index"].at[slots].set(new_len),
+                )
+                for bc, mc in zip(state["cache"], mini)
+            )
             done0 = (last0 == cfg.eos_token_id) | (last0 == cfg.stop_single)
-            pad_rows = jnp.full_like(state["tokens"], cfg.pad_token_id)
+            pad = jnp.full((m, state["tokens"].shape[1]), cfg.pad_token_id,
+                           jnp.int32)
             return dict(
                 cache=cache,
-                length=new_len,
-                last=jnp.where(mask, last0, state["last"]),
-                prev=jnp.where(mask, -1, state["prev"]),
-                done=jnp.where(mask, done0, state["done"]),
-                n_emit=jnp.where(mask, 0, state["n_emit"]),
-                tokens=jnp.where(mask[:, None], pad_rows, state["tokens"]),
+                length=state["length"].at[slots].set(new_len),
+                last=state["last"].at[slots].set(last0),
+                prev=state["prev"].at[slots].set(-1),
+                done=state["done"].at[slots].set(done0),
+                n_emit=state["n_emit"].at[slots].set(0),
+                tokens=state["tokens"].at[slots].set(pad),
                 rng=state["rng"],
             )
 
-        self._cont_progs[width] = cont
+        self._cont_progs[key] = cont
         return cont
 
     def _process_continuations(self) -> None:
-        """Run queued turn deltas, batched per admission width: ONE
-        full-batch prefill re-arms every continuing row at that width."""
+        """Run queued turn deltas, batched per admission width in
+        power-of-two chunks (same program-ladder bound as admission)."""
         if not self._cont_queue:
             return
         by_width: Dict[int, List[Tuple[int, _Pending]]] = {}
         for slot, req in self._cont_queue:
-            width = next(w for w in self.admit_widths
-                         if w >= max(req.embeds.shape[0], self.spec_k + 1))
+            width = self._cont_width(req.embeds.shape[0])
             by_width.setdefault(width, []).append((slot, req))
         self._cont_queue.clear()
-        b, d = self.slots, self.model.config.hidden_size
         for width, items in by_width.items():
-            delta = np.zeros((b, width, d), items[0][1].embeds.dtype)
-            mask = np.zeros((b,), bool)
-            valid = np.zeros((b,), np.int32)
-            for slot, req in items:
-                t = req.embeds.shape[0]
-                delta[slot, :t] = req.embeds
-                mask[slot] = True
-                valid[slot] = t
-            self._rng, sub = jax.random.split(self._rng)
-            self._state = self._continue_prog(width)(
-                self.params, self._state, jnp.asarray(delta),
-                jnp.asarray(mask), jnp.asarray(valid), sub)
-            for slot, req in items:
-                self._slot_req[slot] = req.request_id
-                self._slot_hold[slot] = False
-                self._slot_want_hold[slot] = req.hold
-                self._slot_prompt_len[slot] += req.embeds.shape[0]
+            i = 0
+            while i < len(items):
+                n = 1 << (len(items) - i).bit_length() - 1
+                n = min(n, self.max_admit_chunk)
+                self._continue_chunk(width, items[i:i + n])
+                i += n
+
+    def _cont_width(self, t: int) -> int:
+        """Admission-ladder width for a turn delta (>= spec_k+1 so a spec
+        verify round's junk never outruns the region the delta rewrites)."""
+        return next(w for w in self.admit_widths
+                    if w >= max(t, self.spec_k + 1))
+
+    def _continue_chunk(self, width: int,
+                        items: List[Tuple[int, _Pending]]) -> None:
+        n = len(items)
+        d = items[0][1].embeds.shape[1]
+        delta = np.zeros((n, width, d), items[0][1].embeds.dtype)
+        valid = np.zeros((n,), np.int32)
+        for j, (_, req) in enumerate(items):
+            t = req.embeds.shape[0]
+            delta[j, :t] = req.embeds
+            valid[j] = t
+        slots = jnp.asarray([s for s, _ in items], jnp.int32)
+        self._rng, sub = jax.random.split(self._rng)
+        self._state = self._continue_prog(width, n)(
+            self.params, self._state, jnp.asarray(delta), slots,
+            jnp.asarray(valid), sub)
+        for slot, req in items:
+            self._slot_req[slot] = req.request_id
+            self._slot_hold[slot] = False
+            self._slot_want_hold[slot] = req.hold
+            self._slot_prompt_len[slot] += req.embeds.shape[0]
+            self._frontier_host[slot] += req.embeds.shape[0]
 
     def _make_segment(self):
         """(params, state) -> state advanced by up to ``segment`` decode
@@ -510,10 +541,17 @@ class ServingEngine:
                 )(st["tokens"], window, offset)
                 n_emit = st["n_emit"] + n_new
                 done = done_j | (n_emit >= max_new)
-                # restore true frontiers (attention advanced them by K+1);
-                # inactive rows stand still — their junk writes stay at the
-                # frontier, mask-dead
-                length = jnp.where(active, st["length"] + a + 1,
+                # restore true frontiers (attention advanced them by K+1).
+                # Advance by n_new — the tokens actually EMITTED — not a+1:
+                # a stop inside the accepted window must leave the frontier
+                # at the emitted end, or a held slot's resident KV would
+                # include post-stop draft positions that raw_tokens doesn't,
+                # and continued turns would diverge from the full-history
+                # reference (n_new == a+1 whenever no stop fired, so live
+                # rows are unchanged).  Junk above the frontier is mask-dead
+                # and the next turn's delta (width >= spec_k+1, _cont_width)
+                # rewrites it.  Inactive rows stand still.
+                length = jnp.where(active, st["length"] + n_new,
                                    st["length"])
                 cache = tuple(dict(c, index=length) for c in cache)
                 new_last = jnp.take_along_axis(
@@ -604,13 +642,18 @@ class ServingEngine:
             raise ValueError(f"delta of {t} tokens exceeds the largest "
                              f"admission width {self.admit_widths[-1]}")
         slot = self._held.pop(handle)
-        frontier = int(np.asarray(self._state["length"])[slot])
+        frontier = int(self._frontier_host[slot])
+        width = self._cont_width(t)
+        # two bounds (lease unchanged on rejection): the decode budget
+        # (slack rationale: see submit) and the delta's own padded-width
+        # prefill writes, which must not clamp into the row's history tail
         if (frontier + t + self.cfg.max_new_tokens + 2 * self.spec_k + 1
-                > self.bucket):  # slack rationale: see submit
-            self._held[handle] = slot  # lease unchanged on rejection
+                > self.bucket) or frontier + width > self.bucket:
+            self._held[handle] = slot
             raise ValueError(
-                f"conversation at frontier {frontier} + delta {t} + max_new "
-                f"{self.cfg.max_new_tokens} overflows the {self.bucket} bucket")
+                f"conversation at frontier {frontier} + delta {t} (padded "
+                f"{width}) + max_new {self.cfg.max_new_tokens} overflows "
+                f"the {self.bucket} bucket")
         rid = self._next_id if request_id is None else request_id
         self._next_id = max(self._next_id, rid) + 1
         self._cont_queue.append((slot, _Pending(rid, delta_embeds, hold)))
@@ -685,6 +728,7 @@ class ServingEngine:
         self.stats["live_row_steps"] += int(live)
         self.stats["spec_accepted"] += int(acc)
         self.stats["spec_drafted"] += int(drf)
+        self._frontier_host = np.asarray(self._state["length"], np.int64)
 
         done = np.asarray(self._state["done"])
         finished: List[Finished] = []

@@ -142,7 +142,7 @@ class MyriadServing:
         flush()
         return ids
 
-    def _submit_group(self, samples: Dict) -> List[int]:
+    def _submit_group(self, samples: Dict, hold: bool = False) -> List[int]:
         """Embed a same-question batch in one program call; enqueue rows."""
         m = self.myriad
         image, question, _, maps, one_maps = m.prepare_sample(
@@ -169,7 +169,7 @@ class MyriadServing:
                 "drop requests)")
         rids = []
         for row, scene in zip(embeds, scenes):
-            rid = self.engine.submit(row)
+            rid = self.engine.submit(row, hold=hold)
             self._meta[rid] = {"scene": scene, "question": question}
             rids.append(rid)
         return rids
@@ -177,11 +177,9 @@ class MyriadServing:
     def submit_held(self, samples: Dict) -> int:
         """submit() but the slot stays KV-resident after completion, for
         continue_request turns."""
-        rids = self._submit_group(samples)
-        assert len(rids) == 1, "submit_held takes a single-image sample"
-        # flip the just-queued request's hold flag
-        self.engine._queue[-1].hold = True
-        return rids[0]
+        assert np.asarray(samples["image"]).shape[0] == 1, (
+            "submit_held takes a single-image sample")
+        return self._submit_group(samples, hold=True)[0]
 
     def continue_request(self, handle: int, text: str, *,
                          hold: bool = True,
@@ -210,13 +208,17 @@ class MyriadServing:
             self.engine.params, jnp.asarray(padded)))[0, : len(ids)]
         rid = self.engine.continue_request(handle, emb, hold=hold,
                                            request_id=request_id)
+        # inherit the scene, then retire the consumed handle's meta (held
+        # metas are kept by _render exactly for this moment)
+        prev_meta = self._meta.pop(handle, {})
         self._meta[rid] = {"question": text,
-                           **{k: v for k, v in self._meta.get(handle, {}).items()
+                           **{k: v for k, v in prev_meta.items()
                               if k == "scene"}}
         return rid
 
     def release(self, handle: int) -> None:
         self.engine.release(handle)
+        self._meta.pop(handle, None)
 
     def step(self) -> List[Dict]:
         return [self._render(f) for f in self.engine.step()]

@@ -253,9 +253,9 @@ def test_hold_and_continue_multi_turn(tiny, spec_k):
         results[rid_other].tokens,
         _reference(model, params, other, CFG, jnp.float32))
 
-    # turn 3 after a turn-2 hold; then release frees the slot for reuse
+    # turn 3 after a turn-2 hold; then release() must free the slot
     p3 = _prompts(rng, [4], dim)[0]
-    rid3 = eng.continue_request(rid2, p3)
+    rid3 = eng.continue_request(rid2, p3, hold=True)
     (f3,) = eng.drain()
     emb_a2 = np.asarray(model.apply(
         params, jnp.asarray(results[rid2].raw_tokens)[None],
@@ -263,7 +263,8 @@ def test_hold_and_continue_multi_turn(tiny, spec_k):
     full3 = jnp.concatenate([full, jnp.asarray(emb_a2), p3], axis=0)
     np.testing.assert_array_equal(
         f3.tokens, _reference(model, params, full3, CFG, jnp.float32))
-    assert not f3.held  # hold defaults off on the last turn
+    assert f3.held
+    eng.release(rid3)
 
     with pytest.raises(KeyError):
         eng.continue_request(999, p2)
@@ -272,3 +273,42 @@ def test_hold_and_continue_multi_turn(tiny, spec_k):
         eng.submit(p, request_id=100 + i)
     got = {f.request_id for f in eng.drain()}
     assert got == {100, 101}
+
+
+def test_spec_stop_inside_accepted_window_frontier_exact(tiny):
+    """A stop token inside an ACCEPTED draft window must leave the
+    frontier at the emitted end: the resident KV of a held slot has to
+    agree with raw_tokens, or the continued turn diverges from the
+    full-history reference (r3c review finding)."""
+    model, params = tiny
+    dim = model.config.hidden_size
+    # find a prompt whose greedy stream opens with a non-repeating token:
+    # the 1-gram lookup then drafts exactly the greedy continuation, so
+    # acceptance outruns the stop we place on the SECOND greedy token
+    for seed in range(33, 65):
+        rng = np.random.default_rng(seed)
+        p1, p2 = _prompts(rng, [9, 5], dim)
+        probe = np.asarray(greedy_generate(
+            model, params, p1[None], config=CFG, cache_dtype=jnp.float32))[0]
+        if probe[0] not in probe[1:6] and len(set(probe[:3].tolist())) == 3:
+            break
+    else:
+        pytest.fail("no seed produced a non-repeating greedy opening")
+    cfg = GenerationConfig(max_new_tokens=8, eos_token_id=-1,
+                           stop_single=int(probe[1]), stop_pair=(-1, -1))
+    eng = ServingEngine(model, params, slots=1, bucket=64, config=cfg,
+                        cache_dtype=jnp.float32, segment=4,
+                        admit_widths=(8, 16), spec_k=3, lookup_ids=probe)
+    h = eng.submit(p1, hold=True)
+    (f1,) = eng.drain()
+    np.testing.assert_array_equal(f1.raw_tokens, probe[:1])  # stop after 1
+    assert eng.stats["spec_accepted"] > 0  # the window really overran it
+
+    rid2 = eng.continue_request(h, p2)
+    (f2,) = eng.drain()
+    emb_a1 = np.asarray(model.apply(
+        params, jnp.asarray(f1.raw_tokens)[None],
+        method=type(model).embed))[0]
+    full = jnp.concatenate([p1, jnp.asarray(emb_a1), p2], axis=0)
+    np.testing.assert_array_equal(
+        f2.tokens, _reference(model, params, full, cfg, jnp.float32))

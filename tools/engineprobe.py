@@ -126,7 +126,10 @@ def main():
         args.slots = min(args.slots, 16)
         ids = model.llama_tokenizer(TURN_TEXT, add_special_tokens=False)["input_ids"]
         delta = len(ids[0] if ids and isinstance(ids[0], list) else ids)
-        bucket = -(-(320 + (args.turns + 1) * (delta + args.max_new)
+        # worst-case frontier: prompt + the INITIAL answer + (turns+1 incl.
+        # warm) x (delta + answer), each answer overshooting by up to
+        # spec_k; plus the final turn's decode budget slack
+        bucket = -(-(320 + (args.turns + 2) * (delta + args.max_new + args.spec)
                      + 2 * args.spec + 1) // 32) * 32
     serving = MyriadServing(
         model, slots=args.slots, segment=args.segment,
