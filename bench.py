@@ -44,6 +44,7 @@ Usage: python bench.py [--dry-run] [--batch 16] [--profile full|bench16|tiny]
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -60,6 +61,88 @@ REFERENCE_A100_ROOFLINE = 1.55  # images/sec, speed-of-light bound
 # to ~4 samples/s on 2xA100 = 2.0 samples/sec/GPU.
 REFERENCE_A100_TRAIN_PER_GPU = 2.0
 DECODE_TOKENS = 90
+
+
+def run_harness(args, profile: str, b: int):
+    """Run the shipping eval harness (`evaluation_aqa_dataset.py --bench`)
+    as a subprocess over a synthetic MVTec tree at this bench's exact
+    serving profile, and return its parsed throughput JSON line.
+
+    VERDICT r2 weak #7: the harness number — real AQA prompt, dataloader,
+    tokenize + jsonl host work, pipelined eval loop — is the number a user
+    of the reference actually observes, so it is the headline the driver
+    records; bench.py's in-process fixed-batch measurement remains the
+    controlled kernel-level comparison.  Returns None (with a stderr note)
+    if the subprocess fails, so the driver still gets a JSON line."""
+    import subprocess
+    import tempfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(root, "tests"))
+    from fixtures import make_ad_dataset
+
+    tiny = profile == "tiny"
+    with tempfile.TemporaryDirectory(prefix="bench_harness_") as tmp:
+        data_root = os.path.join(tmp, "data")
+        # >= 7 steady-state batches after the compile batch (the harness
+        # excludes the first); 28px tree for the tiny smoke profile
+        n_test = 10 if tiny else 7 * b + 4
+        make_ad_dataset(data_root, dataset="mvtec", classes=("bottle",),
+                        n_train=2, n_test=n_test,
+                        img_size=28 if tiny else 224, seed=0)
+        options = [
+            f"datasets.anomaly_detection.build_info.storage={data_root}",
+        ]
+        if tiny:
+            cfg_path = os.path.join(tmp, "eval_tiny.yaml")
+            with open(cfg_path, "w") as f:
+                f.write(
+                    "model:\n  arch: myriad\n  arch_preset: tiny\n"
+                    "  image_size: 28\n  use_ve: True\n  max_txt_len: 16\n"
+                    "  end_sym: \"###\"\n  vit_precision: fp32\n"
+                    "datasets:\n  anomaly_detection:\n    img_size: 28\n"
+                    "    crop_size: 28\n"
+                    "run:\n  task: image_text_pretrain\n  device: cpu\n")
+            max_new = 8
+        else:
+            cfg_path = os.path.join(root, "eval_configs", "myriad.yaml")
+            max_new = DECODE_TOKENS
+            if args.quant != "none":
+                options.append(f"model.llm_weight_dtype={args.quant}")
+            options.append(f"model.llm_kv_dtype={args.kv}")
+            if args.vit_quant:
+                options += ["model.vit_weight_dtype=int8",
+                            "model.ve_weight_dtype=int8"]
+                if args.qformer_quant:
+                    options.append("model.qformer_weight_dtype=int8")
+            options += [
+                f"model.llm_prefill_chunks={args.prefill_chunks}",
+                f"model.llm_staged_decode={bool(args.staged_decode)}",
+                f"model.llm_cache_granularity={args.cache_granularity}",
+            ]
+        cmd = [sys.executable, os.path.join(root, "evaluation_aqa_dataset.py"),
+               "--cfg-path", cfg_path, "--task_type", "1cls",
+               "--split", "mvtec", "--bs", str(b),
+               "--save_path", os.path.join(tmp, "results.jsonl"),
+               "--bench", "--greedy", "--max_new_tokens", str(max_new),
+               "--options"] + options
+        print(f"[bench] harness: {' '.join(cmd)}", file=sys.stderr)
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  cwd=root, timeout=5400)
+        except subprocess.TimeoutExpired:
+            print("[bench] harness timed out (5400s)", file=sys.stderr)
+            return None
+        sys.stderr.write(proc.stderr[-2000:])
+        if proc.returncode != 0:
+            print(f"[bench] harness failed rc={proc.returncode}",
+                  file=sys.stderr)
+            return None
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("{") and "images/sec" in line:
+                return json.loads(line)
+        print("[bench] harness emitted no bench line", file=sys.stderr)
+        return None
 
 
 def build_profile(name: str):
@@ -167,11 +250,20 @@ def main():
                         "acceptance curve between the n-gram floor and the "
                         "oracle bound (transcripts stay exact by "
                         "construction)")
+    p.add_argument("--harness", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="additionally run the SHIPPING eval harness "
+                        "(evaluation_aqa_dataset.py --bench) over a "
+                        "synthetic MVTec tree at this profile and make ITS "
+                        "throughput the headline 'value' (the end-to-end "
+                        "number a user measures, incl. dataloader/tokenize/"
+                        "jsonl host work; the in-process fixed-batch number "
+                        "ships alongside as fixed_batch_img_s).  Default: "
+                        "on for the plain eval bench, off for special modes "
+                        "(--spec/--pad-prefix/--breakdown/train)")
     args = p.parse_args()
 
     if args.decode_attn:
-        import os
-
         os.environ["MYRIAD_DECODE_ATTN"] = args.decode_attn
 
     import jax
@@ -409,6 +501,34 @@ def main():
         "profile": profile,
         "compile_s": round(compile_s, 1),
     }
+
+    # headline = the SHIPPING harness number (VERDICT r2 weak #7): on by
+    # default for the plain eval bench; special modes measure their own
+    # thing and keep the in-process number
+    harness = args.harness
+    if harness is None:
+        harness = not (args.spec or args.pad_prefix or args.breakdown
+                       or args.dump_tokens or args.decode_attn)
+    if harness:
+        h = run_harness(args, profile, b)
+        if h is not None:
+            hv = float(h["value"])
+            result.update({
+                "metric": "images/sec/chip (AQA eval harness end-to-end: "
+                          "evaluation_aqa_dataset.py --bench over a "
+                          "synthetic MVTec tree at the same profile — "
+                          + result["metric"].split("(", 1)[1],
+                "value": round(hv, 4),
+                "vs_baseline": round(hv / REFERENCE_A100_AS_SHIPPED, 3),
+                "vs_roofline": round(hv / REFERENCE_A100_ROOFLINE, 3),
+                "fixed_batch_img_s": round(images_per_sec, 4),
+                "harness_batches": h.get("batches"),
+            })
+            if "spec_acceptance" in h:
+                result["spec_acceptance"] = h["spec_acceptance"]
+        else:
+            result["harness_error"] = "harness run failed; value is the " \
+                                      "in-process fixed-batch number"
     print(json.dumps(result))
 
 
