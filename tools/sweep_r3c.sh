@@ -12,12 +12,19 @@ run() {
   tail -1 "$OUT/$name.log" | tee -a "$OUT/summary.log"
 }
 
-# 1. default repro (b48 / 9-chunk / staged / g32) — cached compile
-run default
+# 1. default repro (b48 / 9-chunk / staged / g32), fixed-batch only —
+#    cached compile.  The plain `python bench.py` default now ALSO runs
+#    the shipping harness subprocess (the driver headline); that is step
+#    1b, with its own generous timeout.
+run default --no-harness
+# 1b. driver-equivalent headline: fixed-batch + harness subprocess
+echo "=== headline: (default, with harness) ===" | tee -a "$OUT/summary.log"
+timeout 5400 python bench.py > "$OUT/headline.log" 2>&1
+tail -1 "$OUT/headline.log" | tee -a "$OUT/summary.log"
 # 2. granularity 16: tighter bucket (400) + finer staged spans
-run g16 --cache-granularity 16
+run g16 --no-harness --cache-granularity 16
 # 3. fewer prefill chunks at b48 (re-stream cost ~8 ms/chunk)
-run chunks6 --prefill-chunks 6
+run chunks6 --no-harness --prefill-chunks 6
 # 4. spec-oracle at granularity 16 (bucket 400 vs 416 in the verify reads)
 run spec_g16 --spec 3 --spec-oracle --batch 24 --prefill-chunks 1 --cache-granularity 16
 # 5. train batch 16 probe
