@@ -94,6 +94,32 @@ class _Pending:
     hold: bool = False
 
 
+@dataclasses.dataclass
+class _PendingBatch:
+    """A same-width group queued as ONE device array.
+
+    The whole batch stays device-resident from the embed forward to the
+    admission prefill — no per-row host round-trip.  On the remote-TPU
+    runtime the round-trip is ruinous: a 16-row float32 (320, 4096) prompt
+    group is ~84 MB each way through a ~0.5 s-latency tunnel, which made
+    admission (not decode) dominate the engine's first burst measurement.
+    """
+
+    request_ids: List[int]
+    embeds: "jax.Array"      # (n, width, D), width in admit_widths
+    valid: np.ndarray        # (n,) true prompt lengths (host)
+    hold: bool = False
+
+    def split(self, take: int) -> Tuple["_PendingBatch", "_PendingBatch"]:
+        # two device slices (one dispatch each) — only on partial admission
+        return (
+            _PendingBatch(self.request_ids[:take], self.embeds[:take],
+                          self.valid[:take], self.hold),
+            _PendingBatch(self.request_ids[take:], self.embeds[take:],
+                          self.valid[take:], self.hold),
+        )
+
+
 class ServingEngine:
     """Continuous-batching decode over a fixed slot pool.
 
@@ -622,6 +648,34 @@ class ServingEngine:
         self.stats["submitted"] += 1
         return rid
 
+    def submit_group(self, embeds, valid, hold: bool = False) -> List[int]:
+        """Enqueue a same-width group as one DEVICE-resident batch.
+
+        ``embeds``: (n, width, D) array — width must be on the admission
+        ladder (the caller pads to it, typically inside its embed program);
+        ``valid``: per-row true prompt lengths (int or (n,) array).  The
+        batch flows device→device into the admission prefill: no host copy
+        of the prompt embeddings ever happens (see ``_PendingBatch``).
+        FIFO with ``submit`` — both share one queue."""
+        n, width = int(embeds.shape[0]), int(embeds.shape[1])
+        if width not in self.admit_widths:
+            raise ValueError(
+                f"group width {width} is not on the admission ladder "
+                f"{self.admit_widths} — pad to a ladder width")
+        valid = np.broadcast_to(np.asarray(valid, np.int32), (n,)).copy()
+        slack = 2 * self.spec_k + 1
+        worst = int(valid.max()) if n else 0
+        if worst + self.cfg.max_new_tokens + slack > self.bucket:
+            raise ValueError(
+                f"prompt of {worst} tokens + max_new "
+                f"{self.cfg.max_new_tokens} (+{slack} verify slack) does "
+                f"not fit the {self.bucket}-token bucket")
+        rids = list(range(self._next_id, self._next_id + n))
+        self._next_id += n
+        self._queue.append(_PendingBatch(rids, embeds, valid, hold))
+        self.stats["submitted"] += n
+        return rids
+
     def continue_request(self, handle: int, delta_embeds,
                          request_id: Optional[int] = None,
                          hold: bool = False) -> int:
@@ -665,29 +719,60 @@ class ServingEngine:
         slot = self._held.pop(handle)
         self._slot_hold[slot] = False
 
-    def _admit_pending(self) -> None:
-        """Admit queued requests into free slots: group by admission width,
-        then prefill + graft in power-of-two chunks (2 dispatches per
-        chunk, not per request; programs bounded at widths x log2(slots))."""
-        free = [s for s in range(self.slots)
+    def _free_slots(self) -> List[int]:
+        return [s for s in range(self.slots)
                 if self._slot_req[s] is None and not self._slot_hold[s]]
-        take = min(len(free), len(self._queue))
-        if not take:
-            return
-        by_width: Dict[int, List[Tuple[int, _Pending]]] = {}
-        for slot in free[:take]:
-            req = self._queue.pop(0)
-            width = next(w for w in self.admit_widths if w >= req.embeds.shape[0])
-            by_width.setdefault(width, []).append((slot, req))
-        if self._insert_prog is None:
+
+    def _admit_pending(self) -> None:
+        """Admit queued requests into free slots, FIFO across both entry
+        kinds.  ``_PendingBatch`` groups prefill straight from their
+        device array (power-of-two chunks; a partial admission splits the
+        batch with two device slices); loose ``_Pending`` rows group by
+        admission width and pad host-side as before.  Either way a chunk
+        is 2 dispatches (prefill + graft), programs bounded at
+        widths x log2(slots)."""
+        if self._insert_prog is None and self._queue:
             self._insert_prog = self._make_insert()
-        for width, items in by_width.items():
-            i = 0
-            while i < len(items):
-                n = 1 << (len(items) - i).bit_length() - 1  # largest 2^k left
-                n = min(n, self.max_admit_chunk)
-                self._admit_chunk(width, items[i:i + n])
-                i += n
+        while self._queue:
+            free = self._free_slots()
+            if not free:
+                return
+            head = self._queue[0]
+            if isinstance(head, _PendingBatch):
+                if len(head.request_ids) > len(free):
+                    head, rest = head.split(len(free))
+                    self._queue[0] = rest
+                else:
+                    self._queue.pop(0)
+                width, total = int(head.embeds.shape[1]), len(head.request_ids)
+                i = 0
+                while i < total:
+                    n = 1 << (total - i).bit_length() - 1  # largest 2^k left
+                    n = min(n, self.max_admit_chunk)
+                    emb = (head.embeds if n == total
+                           else head.embeds[i:i + n])  # device slice
+                    self._admit_rows(
+                        width, free[i:i + n], emb, head.valid[i:i + n],
+                        head.request_ids[i:i + n], head.hold)
+                    i += n
+            else:
+                run: List[_Pending] = []
+                while (self._queue and len(run) < len(free)
+                       and not isinstance(self._queue[0], _PendingBatch)):
+                    run.append(self._queue.pop(0))
+                by_width: Dict[int, List[Tuple[int, _Pending]]] = {}
+                it = iter(free)
+                for req in run:
+                    width = next(w for w in self.admit_widths
+                                 if w >= req.embeds.shape[0])
+                    by_width.setdefault(width, []).append((next(it), req))
+                for width, items in by_width.items():
+                    i = 0
+                    while i < len(items):
+                        n = 1 << (len(items) - i).bit_length() - 1
+                        n = min(n, self.max_admit_chunk)
+                        self._admit_chunk(width, items[i:i + n])
+                        i += n
 
     def _admit_chunk(self, width: int, items: List[Tuple[int, _Pending]]) -> None:
         n = len(items)
@@ -698,23 +783,38 @@ class ServingEngine:
             t = req.embeds.shape[0]
             padded[j, :t] = req.embeds
             valid[j] = t
+        self._admit_rows(width, [s for s, _ in items], padded, valid,
+                         [req.request_id for _, req in items],
+                         [req.hold for _, req in items])
+
+    def _admit_rows(self, width: int, slot_list: List[int], padded, valid,
+                    rids: List[int], hold) -> None:
+        """Prefill + graft ``len(slot_list)`` rows (one chunk): ``padded``
+        is (n, width, D), host or device; ``valid`` host lengths."""
+        n = len(slot_list)
+        holds = hold if isinstance(hold, list) else [hold] * n
         self._rng, sub = jax.random.split(self._rng)
         mini, last0 = self._prefill_prog(width, n)(
             self.params, jnp.asarray(padded), jnp.asarray(valid), sub)
-        slots = jnp.asarray([s for s, _ in items], jnp.int32)
+        slots = jnp.asarray(slot_list, jnp.int32)
         self._state = self._insert_prog(self._state, mini, slots, last0,
                                         jnp.asarray(valid))
-        for (slot, req), t in zip(items, valid):
-            self._slot_req[slot] = req.request_id
+        for slot, rid, t, h in zip(slot_list, rids, valid, holds):
+            self._slot_req[slot] = rid
             self._slot_prompt_len[slot] = int(t)
-            self._slot_want_hold[slot] = req.hold
+            self._slot_want_hold[slot] = h
 
     def step(self) -> List[Finished]:
         """One scheduler tick: admit pending requests into free slots, run
         one decode segment, collect finished rows.  Returns the requests
         that completed this tick."""
+        import time as _time
+
+        t0 = _time.monotonic()
         self._process_continuations()
         self._admit_pending()
+        t1 = _time.monotonic()
+        self.stats["admit_wall_s"] = self.stats.get("admit_wall_s", 0.0) + (t1 - t0)
         occupied = [s for s in range(self.slots) if self._slot_req[s] is not None]
         if not occupied:
             return []
@@ -723,18 +823,26 @@ class ServingEngine:
                                   else self._make_segment())
         self._state, nsteps, live, acc, drf = self._segment_prog(
             self.params, self._state)
+        # ONE host round-trip for every per-tick scalar/vector the
+        # scheduler reads — separate int()/np.asarray() syncs each pay the
+        # remote runtime's ~0.5 s dispatch latency (measured: they rivaled
+        # the decode compute itself at segment 64)
+        nsteps, live, acc, drf, length, done = jax.device_get(
+            (nsteps, live, acc, drf, self._state["length"],
+             self._state["done"]))
         self.stats["ticks"] += 1
         self.stats["decode_steps"] += int(nsteps)
         self.stats["live_row_steps"] += int(live)
         self.stats["spec_accepted"] += int(acc)
         self.stats["spec_drafted"] += int(drf)
-        self._frontier_host = np.asarray(self._state["length"], np.int64)
+        self._frontier_host = np.asarray(length, np.int64)
+        self.stats["decode_wall_s"] = (self.stats.get("decode_wall_s", 0.0)
+                                       + (_time.monotonic() - t1))
 
-        done = np.asarray(self._state["done"])
         finished: List[Finished] = []
         if any(done[s] for s in occupied):
-            tokens = np.asarray(self._state["tokens"])
-            n_emit = np.asarray(self._state["n_emit"])
+            tokens, n_emit = jax.device_get(
+                (self._state["tokens"], self._state["n_emit"]))
             for s in occupied:
                 if not done[s]:
                     continue
@@ -766,7 +874,9 @@ class ServingEngine:
 
     @property
     def pending(self) -> int:
-        return (len(self._queue) + len(self._cont_queue)
+        queued = sum(len(e.request_ids) if isinstance(e, _PendingBatch) else 1
+                     for e in self._queue)
+        return (queued + len(self._cont_queue)
                 + sum(r is not None for r in self._slot_req))
 
     def _trim(self, row: np.ndarray) -> np.ndarray:

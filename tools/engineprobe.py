@@ -161,10 +161,12 @@ def main():
     submit_wall = {}
     finish_wall = {}
     t_start = time.time()
+    submit_s = 0.0
     if args.mode == "burst":
         # all requests arrive at t_start; the embed forward is part of
         # every latency sample (it is serving-path work)
         ids = serving.submit_batch(requests, max_group=group)
+        submit_s = time.time() - t_start
         for rid in ids:
             submit_wall[rid] = t_start
         pending_arrivals = []
@@ -179,6 +181,7 @@ def main():
             now = time.time()  # arrival stamp: before the embed forward
             for rid in serving.submit_batch(batch, max_group=group):
                 submit_wall[rid] = now
+            submit_s += time.time() - now
         for r in serving.step():
             finish_wall[r["request_id"]] = time.time()
         ticks += 1
@@ -205,6 +208,11 @@ def main():
         "slot_occupancy": round(
             stats["live_row_steps"] / max(stats["decode_steps"] * args.slots, 1),
             3),
+        # phase attribution: embed forwards (submit), engine admission
+        # prefills, decode segments + per-tick host sync
+        "submit_wall_s": round(submit_s, 2),
+        "admit_wall_s": round(stats.get("admit_wall_s", 0.0), 2),
+        "decode_wall_s": round(stats.get("decode_wall_s", 0.0), 2),
         "compile_s": round(compile_s, 1),
     }
     if args.spec:
