@@ -106,7 +106,9 @@ class _PendingBatch:
     """
 
     request_ids: List[int]
-    embeds: "jax.Array"      # (n, width, D), width in admit_widths
+    # (n, width, D), width in admit_widths; device-resident, or a host
+    # ndarray when submit_group spilled past max_queued_device_bytes
+    embeds: "jax.Array | np.ndarray"
     valid: np.ndarray        # (n,) true prompt lengths (host)
     hold: bool = False
 
@@ -140,6 +142,8 @@ class ServingEngine:
       mesh: optional ('data','model') mesh — shards the KV cache over
         heads on the model axis (see __init__ note).
       spec_k / lookup_ids: speculative verify rounds (see __init__ note).
+      max_queued_device_bytes: cap on prompt-embedding bytes the QUEUE may
+        hold device-resident (see ``submit_group``).
     """
 
     def __init__(
@@ -158,6 +162,7 @@ class ServingEngine:
         mesh=None,
         spec_k: int = 0,
         lookup_ids=None,
+        max_queued_device_bytes: int = 512 << 20,
     ):
         self.model = model
         self.params = params
@@ -191,6 +196,7 @@ class ServingEngine:
         # each (width, n) chunk shape is a full prefill compile — cap n so
         # the program ladder stays {1,2,...,max_admit_chunk} per width
         self.max_admit_chunk = max(1, int(max_admit_chunk))
+        self.max_queued_device_bytes = int(max_queued_device_bytes)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
 
         self._queue: List[_Pending] = []
@@ -209,6 +215,12 @@ class ServingEngine:
         self.stats = {"submitted": 0, "completed": 0, "ticks": 0,
                       "decode_steps": 0, "live_row_steps": 0,
                       "spec_accepted": 0, "spec_drafted": 0}
+
+        # profiling only: sync the device at the admit/decode phase boundary
+        # inside step() so admit_wall_s / decode_wall_s attribute COMPUTE,
+        # not dispatch.  Off by default — the sync serializes the pipeline
+        # (dispatch-side attribution is what production sees).
+        self.profile_sync = False
 
         self._state = self._init_state()
         self._prefill_progs: Dict[int, callable] = {}
@@ -655,8 +667,16 @@ class ServingEngine:
         ladder (the caller pads to it, typically inside its embed program);
         ``valid``: per-row true prompt lengths (int or (n,) array).  The
         batch flows device→device into the admission prefill: no host copy
-        of the prompt embeddings ever happens (see ``_PendingBatch``).
-        FIFO with ``submit`` — both share one queue."""
+        of the prompt embeddings ever happens (see ``_PendingBatch``) —
+        UNLESS the queue already holds ``max_queued_device_bytes`` of
+        device-resident prompts, in which case this group spills to host
+        and re-uploads at admission.  The cap bounds HBM held by prompts
+        that cannot admit yet (a deep burst would otherwise stack every
+        pending group on top of the KV pool on a runtime that OOMs near
+        batch 48); the default 512 MiB covers several admission waves, so
+        the spill only hits deep queue tails where the re-upload overlaps
+        with decode ticks anyway.  FIFO with ``submit`` — both share one
+        queue."""
         n, width = int(embeds.shape[0]), int(embeds.shape[1])
         if width not in self.admit_widths:
             raise ValueError(
@@ -670,9 +690,21 @@ class ServingEngine:
                 f"prompt of {worst} tokens + max_new "
                 f"{self.cfg.max_new_tokens} (+{slack} verify slack) does "
                 f"not fit the {self.bucket}-token bucket")
+        if n and (worst > width or int(valid.min()) < 1):
+            raise ValueError(
+                f"valid lengths must lie in [1, width={width}]; got "
+                f"[{int(valid.min())}, {worst}] — a mismatched valid makes "
+                f"the prefill read a pad/garbage last position")
+        if (isinstance(embeds, jax.Array)
+                and self._queued_device_bytes() + embeds.nbytes
+                > self.max_queued_device_bytes):
+            embeds = jax.device_get(embeds)
         rids = list(range(self._next_id, self._next_id + n))
         self._next_id += n
-        self._queue.append(_PendingBatch(rids, embeds, valid, hold))
+        # the queued batch keeps its OWN copy: callers that extend the
+        # returned list in place (rids += engine.submit_group(...)) must
+        # not grow the batch's id list past its embed rows
+        self._queue.append(_PendingBatch(list(rids), embeds, valid, hold))
         self.stats["submitted"] += n
         return rids
 
@@ -718,6 +750,14 @@ class ServingEngine:
         """Free a held conversation's slot."""
         slot = self._held.pop(handle)
         self._slot_hold[slot] = False
+
+    def _queued_device_bytes(self) -> int:
+        """Device-resident prompt bytes currently queued (recomputed on
+        demand — the queue is short and lazy summing cannot drift the way
+        incremental accounting across ``split`` would)."""
+        return sum(e.embeds.nbytes for e in self._queue
+                   if isinstance(e, _PendingBatch)
+                   and isinstance(e.embeds, jax.Array))
 
     def _free_slots(self) -> List[int]:
         return [s for s in range(self.slots)
@@ -813,7 +853,14 @@ class ServingEngine:
         t0 = _time.monotonic()
         self._process_continuations()
         self._admit_pending()
+        if self.profile_sync:
+            # tiny dependent host copy: on this runtime block_until_ready
+            # does not reliably block (CLAUDE.md), a host copy does
+            jax.device_get(self._state["length"][:1])
         t1 = _time.monotonic()
+        # NOTE: without profile_sync this is DISPATCH-side attribution —
+        # admission returns before the prefill computes, and the compute
+        # lands in decode_wall_s's device_get (r3 advisor finding)
         self.stats["admit_wall_s"] = self.stats.get("admit_wall_s", 0.0) + (t1 - t0)
         occupied = [s for s in range(self.slots) if self._slot_req[s] is not None]
         if not occupied:

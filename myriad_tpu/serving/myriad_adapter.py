@@ -78,33 +78,39 @@ class MyriadServing:
         self._embed_progs: Dict[tuple, callable] = {}
         self._meta: Dict[int, Dict] = {}
 
-    def _embed_prog(self, key):
+    def _embed_prog(self, key, example_args):
         """(jitted fn, meta) — fn returns the prompt embeddings PADDED to
         the admission-ladder width, so the batch goes device→device into
         the engine's prefill with no host round-trip (an 84 MB-each-way
         tunnel copy per group dominated the first burst measurement).
-        ``meta`` captures the true prompt length at trace time."""
+        ``meta`` (true length / padded width) is computed EAGERLY at
+        program-build time via ``jax.eval_shape`` — the jitted fn stays
+        pure, so a future AOT/serialized path that skips tracing still
+        finds meta populated (r3 advisor finding)."""
         if key in self._embed_progs:
             return self._embed_progs[key]
         module, stage = self.myriad.module, self.stage
         add_bos = self.myriad.bos_at_generate
         ladder = self.engine.admit_widths
-        meta: Dict[str, int] = {}
         from myriad_tpu.models.myriad import MyriadModule
+
+        def raw_embed(params, image, maps, before, after):
+            return module.apply(
+                {"params": params}, image, maps, before, after, stage,
+                add_bos=add_bos, method=MyriadModule.prefill_embeds)
+
+        t = int(jax.eval_shape(raw_embed, *example_args).shape[1])
+        width = next((w for w in ladder if w >= t), None)
+        if width is None:
+            raise ValueError(
+                f"prompt of {t} tokens exceeds the largest admission "
+                f"width {ladder[-1]}")
+        meta = {"t": t, "width": width}
 
         @jax.jit
         def embed(params, image, maps, before, after):
-            emb = module.apply(
-                {"params": params}, image, maps, before, after, stage,
-                add_bos=add_bos, method=MyriadModule.prefill_embeds)
-            t = emb.shape[1]
-            width = next((w for w in ladder if w >= t), None)
-            if width is None:
-                raise ValueError(
-                    f"prompt of {t} tokens exceeds the largest admission "
-                    f"width {ladder[-1]}")
-            meta["t"], meta["width"] = t, width
-            return jnp.pad(emb, ((0, 0), (0, width - t), (0, 0)))
+            emb = raw_embed(params, image, maps, before, after)
+            return jnp.pad(emb, ((0, 0), (0, width - emb.shape[1]), (0, 0)))
 
         self._embed_progs[key] = (embed, meta)
         return embed, meta
@@ -173,9 +179,10 @@ class MyriadServing:
             self.engine.set_lookup(m._spec_lookup_ids(after))
         key = (image.shape, np.asarray(image).dtype.str, before.shape,
                after.shape)
-        fn, meta = self._embed_prog(key)
-        embeds = fn(m.params, jnp.asarray(image), use_maps,
-                    jnp.asarray(before), jnp.asarray(after))
+        args = (m.params, jnp.asarray(image), use_maps,
+                jnp.asarray(before), jnp.asarray(after))
+        fn, meta = self._embed_prog(key, args)
+        embeds = fn(*args)
         n = int(embeds.shape[0])
         scenes = list(samples.get("scene", [""] * n))
         if len(scenes) != n:

@@ -141,6 +141,51 @@ def test_submit_validation(tiny):
     assert eng.step() == []  # empty tick is a no-op
 
 
+def test_submit_group_spill_and_validation(tiny):
+    """Device-resident group submission: past max_queued_device_bytes the
+    queue spills groups to HOST (bounding HBM held by prompts that cannot
+    admit yet — r3 advisor finding) and transcripts stay identical to solo
+    greedy; mismatched valid lengths are rejected at submit."""
+    model, params = tiny
+    rng = np.random.default_rng(7)
+    dim = model.config.hidden_size
+    lengths = [5, 7, 3, 6, 4, 8]
+    prompts = _prompts(rng, lengths, dim)
+    width = 8
+
+    def group(idx):  # (n, width, D) device batch + host valid, as the
+        n = len(idx)  # adapter's padded embed program produces
+        arr = np.zeros((n, width, dim), np.float32)
+        for j, i in enumerate(idx):
+            arr[j, : lengths[i]] = np.asarray(prompts[i])
+        return jnp.asarray(arr), np.asarray([lengths[i] for i in idx])
+
+    eng = ServingEngine(model, params, slots=2, bucket=64, config=CFG,
+                        cache_dtype=jnp.float32, segment=4,
+                        admit_widths=(8, 16),
+                        max_queued_device_bytes=2 * width * dim * 4)
+    e0, v0 = group([0, 1])
+    e1, v1 = group([2, 3])
+    e2, v2 = group([4, 5])
+    rids = eng.submit_group(e0, v0)          # fills the device budget
+    rids += eng.submit_group(e1, v1)         # over budget -> host spill
+    rids += eng.submit_group(e2, v2)
+    kinds = [isinstance(b.embeds, np.ndarray) for b in eng._queue]
+    assert kinds == [False, True, True], "tail groups must spill to host"
+
+    with pytest.raises(ValueError):  # valid > width
+        eng.submit_group(jnp.zeros((1, 8, dim)), np.asarray([9]))
+    with pytest.raises(ValueError):  # valid < 1
+        eng.submit_group(jnp.zeros((2, 8, dim)), np.asarray([4, 0]))
+
+    results = {f.request_id: f.tokens for f in eng.drain()}
+    assert sorted(results) == rids
+    for rid, i in zip(rids, range(len(prompts))):
+        ref = _reference(model, params, prompts[i], CFG, jnp.float32)
+        np.testing.assert_array_equal(results[rid], ref,
+                                      err_msg=f"request {i}")
+
+
 def test_bounded_program_count(tiny):
     """Program count stays bounded by the admission ladder: many requests
     at many lengths compile one prefill per width + one insert trace per

@@ -102,10 +102,12 @@ def test_adapter_multi_turn_chat(myriad_tiny):
     s = _sample(11)
     image, question, _, maps, _ = m.prepare_sample(s, 1, training=False)
     before, after = m.split_prompt(question)
+    args = (m.params, jnp.asarray(image), maps, jnp.asarray(before),
+            jnp.asarray(after))
     fn, emb_meta = serving._embed_prog(
-        (image.shape, np.asarray(image).dtype.str, before.shape, after.shape))
-    emb = fn(m.params, jnp.asarray(image), maps, jnp.asarray(before),
-             jnp.asarray(after))[:, : emb_meta["t"]]  # drop the ladder pad
+        (image.shape, np.asarray(image).dtype.str, before.shape, after.shape),
+        args)
+    emb = fn(*args)[:, : emb_meta["t"]]  # drop the ladder pad
     eng = serving.engine
     f1_raw = first[h1]["raw_tokens"]  # the KV-resident emitted stream
     tok = m.llama_tokenizer(turn, add_special_tokens=False)["input_ids"]

@@ -56,6 +56,11 @@ def main():
     p.add_argument("--quant", type=str, default="int8",
                    choices=["none", "int8"])
     p.add_argument("--kv", type=str, default="int8", choices=["bf16", "int8"])
+    p.add_argument("--sync-phases", action="store_true",
+                   help="sync the device at each phase boundary so "
+                        "submit/admit/decode walls attribute COMPUTE "
+                        "(serializes the pipeline — throughput drops; "
+                        "default is dispatch-side attribution)")
     p.add_argument("--dry-run", action="store_true",
                    help="tiny profile on CPU")
     args = p.parse_args()
@@ -135,6 +140,15 @@ def main():
         model, slots=args.slots, segment=args.segment,
         max_new_tokens=args.max_new, bucket=bucket,
         admit_widths=(64, 160, 320), spec_k=args.spec)
+    serving.engine.profile_sync = args.sync_phases
+
+    def sync_submit():
+        # force the embed forward to land before stamping submit wall
+        # (block_until_ready is unreliable here — tiny dependent host copy)
+        if args.sync_phases and serving.engine._queue:
+            e = serving.engine._queue[-1].embeds
+            if hasattr(e, "devices"):
+                jax.device_get(e[0, 0, :1])
     # embed-group size the timed run will use — warm the SAME shapes, or
     # their compiles land inside the measured window
     group = min(16, args.arrive if args.mode == "trickle" else 16,
@@ -166,6 +180,7 @@ def main():
         # all requests arrive at t_start; the embed forward is part of
         # every latency sample (it is serving-path work)
         ids = serving.submit_batch(requests, max_group=group)
+        sync_submit()
         submit_s = time.time() - t_start
         for rid in ids:
             submit_wall[rid] = t_start
@@ -181,6 +196,7 @@ def main():
             now = time.time()  # arrival stamp: before the embed forward
             for rid in serving.submit_batch(batch, max_group=group):
                 submit_wall[rid] = now
+            sync_submit()
             submit_s += time.time() - now
         for r in serving.step():
             finish_wall[r["request_id"]] = time.time()
@@ -209,7 +225,12 @@ def main():
             stats["live_row_steps"] / max(stats["decode_steps"] * args.slots, 1),
             3),
         # phase attribution: embed forwards (submit), engine admission
-        # prefills, decode segments + per-tick host sync
+        # prefills, decode segments + per-tick host sync.  WITHOUT
+        # --sync-phases these are DISPATCH-side walls (the async backend
+        # returns before compute lands; embed+prefill compute shows up in
+        # decode_wall_s's device_get) — pass --sync-phases for compute-side
+        # attribution at the cost of pipeline serialization.
+        "phase_attribution": "compute" if args.sync_phases else "dispatch",
         "submit_wall_s": round(submit_s, 2),
         "admit_wall_s": round(stats.get("admit_wall_s", 0.0), 2),
         "decode_wall_s": round(stats.get("decode_wall_s", 0.0), 2),
