@@ -660,7 +660,17 @@ class ServingEngine:
         self.stats["submitted"] += 1
         return rid
 
-    def submit_group(self, embeds, valid, hold: bool = False) -> List[int]:
+    def reserve_ids(self, n: int) -> List[int]:
+        """Pre-claim ``n`` request ids for a group a lazy front-end will
+        ``submit_group(..., request_ids=...)`` later — arrival time (and so
+        latency accounting) belongs to submission, not to the deferred
+        embed forward."""
+        rids = list(range(self._next_id, self._next_id + n))
+        self._next_id += n
+        return rids
+
+    def submit_group(self, embeds, valid, hold: bool = False,
+                     request_ids: Optional[List[int]] = None) -> List[int]:
         """Enqueue a same-width group as one DEVICE-resident batch.
 
         ``embeds``: (n, width, D) array — width must be on the admission
@@ -699,8 +709,13 @@ class ServingEngine:
                 and self._queued_device_bytes() + embeds.nbytes
                 > self.max_queued_device_bytes):
             embeds = jax.device_get(embeds)
-        rids = list(range(self._next_id, self._next_id + n))
-        self._next_id += n
+        if request_ids is None:
+            rids = self.reserve_ids(n)
+        else:
+            if len(request_ids) != n:
+                raise ValueError(
+                    f"{len(request_ids)} reserved ids for {n} embed rows")
+            rids = list(request_ids)
         # the queued batch keeps its OWN copy: callers that extend the
         # returned list in place (rids += engine.submit_group(...)) must
         # not grow the batch's id list past its embed rows
@@ -750,6 +765,16 @@ class ServingEngine:
         """Free a held conversation's slot."""
         slot = self._held.pop(handle)
         self._slot_hold[slot] = False
+
+    @property
+    def queued_rows(self) -> int:
+        """Rows waiting in the admission queue (not yet in slots)."""
+        return sum(len(e.request_ids) if isinstance(e, _PendingBatch) else 1
+                   for e in self._queue)
+
+    @property
+    def free_slot_count(self) -> int:
+        return len(self._free_slots())
 
     def _queued_device_bytes(self) -> int:
         """Device-resident prompt bytes currently queued (recomputed on

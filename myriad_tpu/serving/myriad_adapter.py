@@ -77,6 +77,10 @@ class MyriadServing:
             admit_widths=admit_widths, spec_k=spec_k)
         self._embed_progs: Dict[tuple, callable] = {}
         self._meta: Dict[int, Dict] = {}
+        # lazy-submission host queue: stacked sample groups waiting to be
+        # embedded (see submit_batch(lazy=True)).  Entries are
+        # (stacked_samples, promised_request_ids).
+        self._host_queue: List[tuple] = []
 
     def _embed_prog(self, key, example_args):
         """(jitted fn, meta) — fn returns the prompt embeddings PADDED to
@@ -121,7 +125,7 @@ class MyriadServing:
         return self._submit_group(samples)[0]
 
     def submit_batch(self, samples_list: List[Dict],
-                     max_group: int = 16) -> List[int]:
+                     max_group: int = 16, lazy: bool = False) -> List[int]:
         """Enqueue many single-image samples; same-shape/same-question runs
         share ONE embedding program call (the VE + encode_img forward is
         batched), which matters on the remote-TPU runtime where every
@@ -129,7 +133,15 @@ class MyriadServing:
         embed forward's activation footprint must stay inside the
         validated envelope (the bench OOMs past batch ~48 at full scale;
         16 keeps admission bursts well clear while the engine cache is
-        also resident).  Returns request ids in input order."""
+        also resident).  Returns request ids in input order.
+
+        ``lazy=True`` defers the embed forwards: groups wait HOST-side and
+        are embedded just ahead of admission (one group of lookahead past
+        the free slots, ``_pump``).  A deep burst then holds raw images in
+        host RAM instead of stacking every group's prompt embeddings AND
+        embed-forward temps in HBM on top of the KV pool — the measured
+        r4 burst OOM at 192 requests x 48 slots.  Request ids are reserved
+        up front, so arrival-time latency accounting is unchanged."""
         ids: List[int] = []
         group: List[Dict] = []
         q_key = {0: "question", 1: "question2", 2: "question3"}[self.stage]
@@ -153,7 +165,12 @@ class MyriadServing:
                 if vals:
                     stacked[k] = [v[0] if isinstance(v, (list, tuple)) else v
                                   for v in vals]
-            ids.extend(self._submit_group(stacked))
+            if lazy:
+                rids = self.engine.reserve_ids(len(group))
+                self._host_queue.append((stacked, rids))
+                ids.extend(rids)
+            else:
+                ids.extend(self._submit_group(stacked))
             group.clear()
 
         for s in samples_list:
@@ -161,9 +178,22 @@ class MyriadServing:
                 flush()
             group.append(s)
         flush()
+        if lazy:
+            self._pump()
         return ids
 
-    def _submit_group(self, samples: Dict, hold: bool = False) -> List[int]:
+    def _pump(self) -> None:
+        """Embed host-queued groups only while the engine's admission queue
+        does not already cover the free slots — bounds device-resident
+        prompt bytes to ~one group past what can admit this tick, and the
+        re-embeds overlap with decode ticks."""
+        eng = self.engine
+        while self._host_queue and eng.queued_rows <= eng.free_slot_count:
+            stacked, rids = self._host_queue.pop(0)
+            self._submit_group(stacked, request_ids=rids)
+
+    def _submit_group(self, samples: Dict, hold: bool = False,
+                      request_ids: Optional[List[int]] = None) -> List[int]:
         """Embed a same-question batch in one program call; enqueue rows."""
         m = self.myriad
         image, question, _, maps, one_maps = m.prepare_sample(
@@ -192,7 +222,8 @@ class MyriadServing:
                 "requests)")
         # device-resident group submission: the padded batch never touches
         # the host (engine._PendingBatch rationale)
-        rids = self.engine.submit_group(embeds, meta["t"], hold=hold)
+        rids = self.engine.submit_group(embeds, meta["t"], hold=hold,
+                                        request_ids=request_ids)
         for rid, scene in zip(rids, scenes):
             self._meta[rid] = {"scene": scene, "question": question}
         return rids
@@ -244,10 +275,16 @@ class MyriadServing:
         self._meta.pop(handle, None)
 
     def step(self) -> List[Dict]:
+        self._pump()
         return [self._render(f) for f in self.engine.step()]
 
     def drain(self, max_ticks: int = 10_000) -> List[Dict]:
-        return [self._render(f) for f in self.engine.drain(max_ticks)]
+        out: List[Dict] = []
+        for _ in range(max_ticks):
+            if not self.pending:
+                return out
+            out.extend(self.step())
+        raise RuntimeError(f"drain did not converge in {max_ticks} ticks")
 
     def _render(self, finished) -> Dict:
         text = self.myriad.llama_tokenizer.decode(finished.tokens.tolist())
@@ -261,7 +298,8 @@ class MyriadServing:
 
     @property
     def pending(self) -> int:
-        return self.engine.pending
+        return self.engine.pending + sum(
+            len(rids) for _, rids in self._host_queue)
 
     @property
     def stats(self):

@@ -74,6 +74,35 @@ def test_adapter_spec_matches_generate(myriad_tiny):
     assert serving.stats["spec_drafted"] > 0
 
 
+@pytest.mark.parametrize("lazy", [False, True])
+def test_adapter_submit_batch_groups(myriad_tiny, lazy):
+    """submit_batch (the probe's path): same-question runs share one embed
+    program call; lazy=True keeps groups HOST-side until just ahead of
+    admission (the r4 burst-OOM fix) with ids reserved at arrival.  Both
+    modes must produce transcripts identical to solo Myriad.generate."""
+    m = myriad_tiny
+    q2 = "is there an anomaly present in this image?"
+    samples = [_sample(20), _sample(21), _sample(22, question=q2),
+               _sample(23, question=q2), _sample(24), _sample(25)]
+    serving = MyriadServing(m, slots=2, segment=4, max_new_tokens=6,
+                            admit_widths=(160, 256))
+    ids = serving.submit_batch(samples, max_group=2, lazy=lazy)
+    assert len(ids) == len(samples)
+    if lazy:
+        # groups beyond the admission lookahead wait host-side
+        assert serving._host_queue, "burst should not embed everything"
+        assert serving.engine.queued_rows <= serving.engine.free_slot_count + 2
+        assert serving.pending == len(samples)
+    results = {r["request_id"]: r for r in serving.drain()}
+    assert sorted(results) == sorted(ids)
+    assert not serving._host_queue
+    for rid, s in zip(ids, samples):
+        ref = m.generate(s, max_new_tokens=6)
+        want = _trim(np.asarray(ref["token_ids"])[0], serving.cfg)
+        np.testing.assert_array_equal(results[rid]["token_ids"], want,
+                                      err_msg=f"request {rid} (lazy={lazy})")
+
+
 def test_adapter_multi_turn_chat(myriad_tiny):
     """Text-level turns on held conversations: turn-2 answers must equal a
     fresh engine request whose prompt is the full concatenated history

@@ -126,9 +126,6 @@ def main():
     requests = [make_request(i) for i in range(args.requests)]
     bucket = None
     if args.mode == "chat":
-        # conversations grow per turn: prompt + (turns+1) x (delta+answer);
-        # fewer slots keep the bigger bucket inside the KV budget
-        args.slots = min(args.slots, 16)
         ids = model.llama_tokenizer(TURN_TEXT, add_special_tokens=False)["input_ids"]
         delta = len(ids[0] if ids and isinstance(ids[0], list) else ids)
         # worst-case frontier: prompt + the INITIAL answer + (turns+1 incl.
@@ -136,6 +133,21 @@ def main():
         # spec_k; plus the final turn's decode budget slack
         bucket = -(-(320 + (args.turns + 2) * (delta + args.max_new + args.spec)
                      + 2 * args.spec + 1) // 32) * 32
+        # size the conversation count from the KV budget: chat buckets are
+        # 3-4x the single-turn 416, and slots x bucket x bytes/token must
+        # leave room for the 8.4G int8 params (16 slots x 1472 = 12.3G of
+        # KV measured OOM on the 15.75G chip)
+        la = arch.llama
+        bytes_per_tok = 2 * la.num_layers * la.hidden_size * (
+            1 if args.kv == "int8" else 2)
+        bytes_per_tok += 2 * la.num_layers * la.num_heads * 2  # scale planes
+        kv_budget = (5.5 if not args.dry_run else 1) * (1 << 30)
+        fit = max(1, int(kv_budget // (bucket * bytes_per_tok)))
+        if fit < args.slots:
+            print(f"[engineprobe] chat slots {args.slots} -> {fit} "
+                  f"(bucket {bucket}, {bytes_per_tok/2**20:.2f} MiB/token-slot, "
+                  f"{kv_budget/2**30:.1f} GiB KV budget)", file=sys.stderr)
+        args.slots = min(args.slots, 16, fit)
     serving = MyriadServing(
         model, slots=args.slots, segment=args.segment,
         max_new_tokens=args.max_new, bucket=bucket,
@@ -179,7 +191,10 @@ def main():
     if args.mode == "burst":
         # all requests arrive at t_start; the embed forward is part of
         # every latency sample (it is serving-path work)
-        ids = serving.submit_batch(requests, max_group=group)
+        # lazy: groups wait host-side and embed just ahead of admission —
+        # a 192-request burst otherwise stacks every group's embeds +
+        # embed-forward temps in HBM on top of the KV pool (measured OOM)
+        ids = serving.submit_batch(requests, max_group=group, lazy=True)
         sync_submit()
         submit_s = time.time() - t_start
         for rid in ids:
@@ -194,7 +209,7 @@ def main():
             batch, pending_arrivals = (pending_arrivals[: args.arrive],
                                        pending_arrivals[args.arrive:])
             now = time.time()  # arrival stamp: before the embed forward
-            for rid in serving.submit_batch(batch, max_group=group):
+            for rid in serving.submit_batch(batch, max_group=group, lazy=True):
                 submit_wall[rid] = now
             sync_submit()
             submit_s += time.time() - now
