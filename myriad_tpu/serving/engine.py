@@ -898,10 +898,13 @@ class ServingEngine:
         # ONE host round-trip for every per-tick scalar/vector the
         # scheduler reads — separate int()/np.asarray() syncs each pay the
         # remote runtime's ~0.5 s dispatch latency (measured: they rivaled
-        # the decode compute itself at segment 64)
-        nsteps, live, acc, drf, length, done = jax.device_get(
+        # the decode compute itself at segment 64).  tokens/n_emit ride
+        # along speculatively: (slots, max_new) int32 is ~20 KB, far
+        # cheaper than the second round-trip the finisher path used to pay
+        nsteps, live, acc, drf, length, done, tokens, n_emit = jax.device_get(
             (nsteps, live, acc, drf, self._state["length"],
-             self._state["done"]))
+             self._state["done"], self._state["tokens"],
+             self._state["n_emit"]))
         self.stats["ticks"] += 1
         self.stats["decode_steps"] += int(nsteps)
         self.stats["live_row_steps"] += int(live)
@@ -913,8 +916,6 @@ class ServingEngine:
 
         finished: List[Finished] = []
         if any(done[s] for s in occupied):
-            tokens, n_emit = jax.device_get(
-                (self._state["tokens"], self._state["n_emit"]))
             for s in occupied:
                 if not done[s]:
                     continue
