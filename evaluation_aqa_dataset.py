@@ -195,13 +195,23 @@ def main():
     t_loop0 = time.time()
     completions = []  # (wall time when the batch's results landed, real_images)
     spec_totals = {"accepted": 0, "drafted": 0, "rounds": 0}
+    # per-batch phase walls (seconds, appended per batch) — decomposes the
+    # harness-vs-fixed-batch gap (VERDICT r3 weak #3): `collate` = host
+    # dataloader+padding before generate, `dispatch` = model.generate call
+    # (host prep + async dispatch; compute NOT included), `wait` = blocked
+    # on the device inside flush's first host copy, `hflush` = tokenizer
+    # batch_decode + jsonl writes after the copy landed
+    phases = {"collate": [], "dispatch": [], "wait": [], "hflush": []}
 
     def flush(writer, samples, outputs, real_bs):
         """Block on a batch's device results and write its jsonl rows."""
+        t_w0 = time.time()
         if "spec_stats" in outputs:  # speculative decode acceptance counters
             for k in spec_totals:
                 spec_totals[k] += int(np.asarray(outputs["spec_stats"][k]))
         token_ids = np.asarray(outputs["token_ids"])[:real_bs]
+        phases["wait"].append(time.time() - t_w0)
+        t_h0 = time.time()
         token_ids = np.clip(token_ids, 1, 40000)
         output_text = model.llama_tokenizer.batch_decode(token_ids)
         maps = np.asarray(outputs.get("ve_anomaly_maps"))
@@ -221,6 +231,7 @@ def main():
             if maps is not None and maps.size:
                 item["anomaly_score"] = str(round(float(maps[ind].max()), 4))
             writer.write(json.dumps(item) + "\n")
+        phases["hflush"].append(time.time() - t_h0)
         completions.append((time.time(), real_bs))
 
     # 1-deep software pipeline: dispatch batch i+1 (JAX queues it
@@ -230,8 +241,11 @@ def main():
     # fully serializes CPU and GPU work.
     pending = None  # (samples, outputs, real_bs)
     with open(save_path, "w") as writer:
+        t_c0 = time.time()
         for testid, samples in enumerate(dataloader):
+            phases["collate"].append(time.time() - t_c0)
             if testid < args.start:
+                t_c0 = time.time()
                 continue
             # pad ragged final batches to the bucket size: a new batch shape
             # would recompile the fused decode program (minutes on TPU)
@@ -245,10 +259,13 @@ def main():
                         )
                     elif isinstance(v, list):
                         samples[k] = v + [v[-1]] * pad
+            t_d0 = time.time()
             outputs = model.generate(samples, **generate_kwargs)
+            phases["dispatch"].append(time.time() - t_d0)
             if pending is not None:
                 flush(writer, *pending)
             pending = (samples, outputs, real_bs)
+            t_c0 = time.time()
         if pending is not None:
             flush(writer, *pending)
 
@@ -271,6 +288,15 @@ def main():
             "batches": n_batches - 1,
             "batch_size": args.bs,
             "compile_batch_s": round(completions[0][0] - t_loop0, 2),
+            # steady-state per-batch phase means (first batch excluded, same
+            # warmup protocol).  wait ≈ device compute not hidden by the
+            # 1-deep pipeline; collate/dispatch/hflush are host-side.  Their
+            # sum ≈ steady wall / batch; whichever dominates is the
+            # harness-vs-fixed-batch gap (VERDICT r3 weak #3).
+            "phase_means_s": {
+                k: round(float(np.mean(v[1:])), 3) if len(v) > 1 else 0.0
+                for k, v in phases.items()
+            },
         }
         if spec_totals["drafted"]:
             # measured draft acceptance: where this run sits between the

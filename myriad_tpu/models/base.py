@@ -92,8 +92,19 @@ class BaseModel:
         from myriad_tpu import checkpoint as ckpt_lib
 
         tree = ckpt_lib.load_params(url_or_filename)
+        if isinstance(tree, dict) and "model" in tree and (
+                "optimizer" in tree or "epoch" in tree):
+            # a RunnerBase ring checkpoint (runner_base._save_checkpoint):
+            # trainables nest under 'model' beside optimizer/step state —
+            # unwrap so `ckpt:` in an eval config can point straight at a
+            # training run's orbax dir (the train -> serve loop)
+            tree = tree["model"]
         merged, loaded, skipped = ckpt_lib.merge_trees(self.trainable, tree)
         self.trainable = merged
+        if loaded == 0:
+            logging.warning(
+                "load checkpoint from %s matched ZERO trainable leaves — "
+                "wrong tree layout?", url_or_filename)
         logging.info(
             "load checkpoint from %s (%d leaves loaded, %d unknown)",
             url_or_filename, loaded, skipped,

@@ -993,6 +993,14 @@ class Myriad(BaseModel):
             arch = dataclasses.replace(arch, img_size=cfg.get("image_size"))
         if cfg.get("num_query_token") and arch_preset == "full":
             arch = dataclasses.replace(arch, num_query_token=cfg.get("num_query_token"))
+        if cfg.get("llm_vocab_size"):
+            # tiny-scale testing convenience: the ByteTokenizer fallback
+            # emits ids 3..258, above LlamaConfig.tiny()'s 128 — raise the
+            # head so templated answers are reachable tokens (full scale
+            # keeps the real 32000)
+            arch = dataclasses.replace(
+                arch, llama=dataclasses.replace(
+                    arch.llama, vocab_size=int(cfg.get("llm_vocab_size"))))
         llm_weight_dtype = cfg.get("llm_weight_dtype")
         if cfg.get("low_resource") and not llm_weight_dtype:
             # the reference's 8-bit bitsandbytes knob (myriad.py:186-192)

@@ -79,7 +79,8 @@ def compile_full_serving(mesh=None, batch: int = 8, max_new_tokens: int = 90,
                          prompt_before: int = 8, prompt_after: int = 180,
                          arch=None, prefill_chunks: int = 1,
                          staged_decode: bool = False,
-                         cache_granularity: int = 32):
+                         cache_granularity: int = 32,
+                         with_args: bool = False):
     """AOT-compile the d32 int8+int8KV serving program (prefill_embeds +
     90-token greedy decode) with production GSPMD rules.  Returns the
     jax Compiled object (its existence IS the proof).  ``prefill_chunks``/
@@ -132,12 +133,13 @@ def compile_full_serving(mesh=None, batch: int = 8, max_new_tokens: int = 90,
         jax.ShapeDtypeStruct((prompt_after,), jnp.int32, sharding=rep),
     )
     with mesh:
-        return jax.jit(serve).lower(*args).compile()
+        compiled = jax.jit(serve).lower(*args).compile()
+    return (compiled, args) if with_args else compiled
 
 
 def compile_full_train(mesh=None, batch: int = 8, txt_len: int = 32,
                        prompt_before: int = 8, prompt_after: int = 60,
-                       arch=None):
+                       arch=None, with_args: bool = False):
     """AOT-compile the stage-2 LoRA finetune step (loss + grads over the
     trainable subtree + optax update) at full d32 scale under the
     production rules (BASELINE config 4 envelope,
@@ -215,4 +217,59 @@ def compile_full_train(mesh=None, batch: int = 8, txt_len: int = 32,
         jax.ShapeDtypeStruct((batch, txt_len), jnp.int32, sharding=ds(2)),
     )
     with mesh:
-        return jax.jit(train_step).lower(*args).compile()
+        compiled = jax.jit(train_step).lower(*args).compile()
+    return (compiled, args) if with_args else compiled
+
+
+# -- opt-in EXECUTION of the full-arch programs (VERDICT r3 next #5) ---------
+
+def materialize(abs_tree, seed: int = 0):
+    """Concrete arrays for a ShapeDtypeStruct tree, placed per-sharding.
+
+    Fill is cheap + deterministic (vectorized modular patterns, not a real
+    RNG — a 7.9B-leaf random init on one CPU core costs minutes for zero
+    extra fault coverage): int8 weights cycle small nonzero ints, floats
+    cycle small positive values so quant scales / LayerNorm gains never
+    divide by zero.  Execution exists to surface runtime-only faults
+    (donation aliasing, int8 scatter layouts) that AOT compile cannot —
+    loss/token values only need to be finite."""
+    import numpy as np
+
+    def fill(s, i):
+        n = int(np.prod(s.shape)) if s.shape else 1
+        base = np.arange(i, i + n, dtype=np.int64)
+        if jnp.issubdtype(s.dtype, jnp.integer):
+            vals = (base % 7 - 3).astype(s.dtype)  # int8 weights: [-3, 3]
+        elif jnp.issubdtype(s.dtype, jnp.floating):
+            vals = ((base % 13 + 1) * 0.01).astype(s.dtype)  # (0, 0.13]
+        else:
+            vals = np.zeros(n, s.dtype)
+        arr = vals.reshape(s.shape)
+        sh = getattr(s, "sharding", None)
+        return jax.device_put(arr, sh) if sh is not None else jnp.asarray(arr)
+
+    leaves, treedef = jax.tree_util.tree_flatten(abs_tree)
+    return jax.tree_util.tree_unflatten(
+        treedef, [fill(s, seed + 37 * i) for i, s in enumerate(leaves)])
+
+
+def execute_full_serving(mesh=None, batch: int = 2, max_new_tokens: int = 8,
+                         **kw):
+    """Compile AND run one full-arch d32 int8 serving step on the mesh with
+    materialized params (~8 GiB host).  Returns the first emitted token ids
+    (host ints) — finite/valid-range is the assertion the caller makes."""
+    compiled, args = compile_full_serving(mesh, batch=batch,
+                                          max_new_tokens=max_new_tokens,
+                                          with_args=True, **kw)
+    out = compiled(*materialize(args))
+    tokens = out[0] if isinstance(out, tuple) else out
+    return jax.device_get(tokens)
+
+
+def execute_full_train(mesh=None, batch: int = 2, txt_len: int = 8, **kw):
+    """Compile AND run one full-arch LoRA train step (loss + grads + optax
+    update) with materialized params.  Returns the float loss."""
+    compiled, args = compile_full_train(mesh, batch=batch, txt_len=txt_len,
+                                        with_args=True, **kw)
+    new_trainable, new_opt, loss = compiled(*materialize(args))
+    return float(loss)

@@ -1,0 +1,254 @@
+"""Train -> checkpoint -> speculative serve, end to end (VERDICT r3 #2).
+
+The speculative headline has so far been an oracle bound (18.36 img/s at
+100% draft acceptance) bracketed by a random-weight floor (8.0) — real
+acceptance needs a model whose greedy generations actually emit the
+task's templated answers (reference anomaly_detection.py:332-337:
+"Yes/No, there exists ... anomalies in the image").  This driver closes
+the loop in-sandbox:
+
+  1. builds a synthetic AD tree (tests/fixtures.make_ad_dataset);
+  2. runs the REAL train CLI (train.py, stage-2 LoRA envelope per the
+     reference train_configs/loraadapter_simple_myriad_finetune.yaml)
+     until the templated answers dominate the CE loss;
+  3. points the REAL eval CLI (evaluation_aqa_dataset.py) at the run's
+     orbax checkpoint with `llm_spec_k` enabled;
+  4. reports measured spec_acceptance + img/s and a few sample outputs.
+
+Profiles: `tiny` proves the loop on CPU minutes (ByteTokenizer ids need
+`llm_vocab_size: 320`); `full` is the d32 int8 TPU measurement run.
+
+Usage:
+  python tools/train_to_spec.py --profile tiny --workdir /tmp/t2s
+  python tools/train_to_spec.py --profile full --workdir /tmp/t2s_full \
+      [--epochs 2 --iters 150 --batch 8 --bs-eval 24 --spec 3]
+
+One summary JSON line on stdout (sweep-queue convention).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import textwrap
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+
+TRAIN_YAML = """
+model:
+  arch: myriad
+  model_type: pretrain_vicuna
+  {arch_lines}
+  freeze_vit: True
+  freeze_qformer: True
+  use_lora: True
+  use_ve: True
+  max_txt_len: {max_txt_len}
+  end_sym: "###"
+  prompt_template: '###Human: {{}} ###Assistant: '
+datasets:
+  anomaly_detection:
+    img_size: {img_size}
+    crop_size: {img_size}
+    build_info:
+      storage: {data_root}
+      ann_paths:
+        - DC_MVTEC_train_normal.jsonl
+    vis_processor:
+      train: {{name: "loc_image_train", identity: True, image_size: {img_size}}}
+    text_processor:
+      train: {{name: "blip_caption"}}
+run:
+  task: image_text_pretrain
+  device: {device}
+  lr_sched: "linear_warmup_cosine_lr"
+  init_lr: {lr}
+  min_lr: 0
+  warmup_lr: 1e-6
+  weight_decay: 0.05
+  max_epoch: {epochs}
+  iters_per_epoch: {iters}
+  batch_size_train: {batch}
+  num_workers: 0
+  warmup_steps: {warmup}
+  seed: 42
+  output_dir: {out_dir}
+  max_checkpoints: 2
+"""
+
+EVAL_YAML = """
+model:
+  arch: myriad
+  {arch_lines}
+  use_ve: True
+  max_txt_len: {max_txt_len}
+  end_sym: "###"
+  prompt_template: '###Human: {{}} ###Assistant: '
+  ckpt: {ckpt}
+  llm_spec_k: {spec}
+datasets:
+  anomaly_detection:
+    img_size: {img_size}
+    crop_size: {img_size}
+    build_info: {{storage: {data_root}}}
+run:
+  task: image_text_pretrain
+  device: {device}
+"""
+
+# the serving quant profile (BENCH_NOTES reproduction command)
+FULL_ARCH_TRAIN = """vit_precision: fp32
+  llm_weight_dtype: int8
+  use_grad_checkpoint: True"""
+FULL_ARCH_EVAL = """llm_weight_dtype: int8
+  llm_kv_dtype: int8
+  vit_weight_dtype: int8
+  ve_weight_dtype: int8
+  qformer_weight_dtype: int8
+  llm_prefill_chunks: {chunks}"""
+TINY_ARCH = """arch_preset: tiny
+  image_size: 28
+  llm_vocab_size: 320
+  vit_precision: fp32"""
+
+
+def run_cmd(cmd, log_path, timeout):
+    t0 = time.time()
+    with open(log_path, "w") as f:
+        proc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                              text=True, cwd=ROOT, timeout=timeout)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        tail = open(log_path).read()[-3000:]
+        raise SystemExit(f"command failed ({cmd[1]}):\n{tail}")
+    return wall
+
+
+def find_last_checkpoint(out_dir):
+    hits = []
+    for dirpath, dirs, _ in os.walk(out_dir):
+        for d in dirs:
+            if d.startswith("checkpoint_") and d.split("_")[-1].isdigit():
+                hits.append((int(d.split("_")[-1]), os.path.join(dirpath, d)))
+    if not hits:
+        raise SystemExit(f"no checkpoint under {out_dir}")
+    return max(hits)[1]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--profile", choices=["tiny", "full"], default="tiny")
+    p.add_argument("--workdir", default="/tmp/train_to_spec")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--iters", type=int, default=None,
+                   help="iters per epoch")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--bs-eval", type=int, default=None)
+    p.add_argument("--spec", type=int, default=3)
+    p.add_argument("--max-new", type=int, default=None)
+    p.add_argument("--n-test", type=int, default=None)
+    p.add_argument("--prefill-chunks", type=int, default=3,
+                   help="full profile eval: memory knob at real prompt "
+                        "buckets (BENCH_NOTES: spec fits b24@1 / b32@3)")
+    p.add_argument("--skip-train", action="store_true",
+                   help="reuse the workdir's existing checkpoint")
+    args = p.parse_args()
+
+    tiny = args.profile == "tiny"
+    epochs = args.epochs or (3 if tiny else 2)
+    iters = args.iters or (120 if tiny else 150)
+    batch = args.batch or (8 if tiny else 8)
+    lr = args.lr or (3e-3 if tiny else 1e-4)
+    bs_eval = args.bs_eval or (8 if tiny else 24)
+    max_new = args.max_new or (48 if tiny else 90)
+    n_test = args.n_test or (24 if tiny else 340)
+    img_size = 28 if tiny else 224
+    device = "cpu" if tiny else "tpu"
+
+    os.makedirs(args.workdir, exist_ok=True)
+    data_root = os.path.join(args.workdir, "data")
+    out_dir = os.path.join(args.workdir, "train_out")
+    if not os.path.isdir(os.path.join(data_root, "mvtec")):
+        from fixtures import make_ad_dataset
+
+        make_ad_dataset(data_root, dataset="mvtec", classes=("bottle",),
+                        n_train=max(32, batch * 4), n_test=n_test,
+                        img_size=img_size, seed=0)
+
+    summary = {"metric": f"train_to_spec ({args.profile})", "unit": "mixed"}
+
+    if not args.skip_train:
+        train_cfg = os.path.join(args.workdir, "train.yaml")
+        with open(train_cfg, "w") as f:
+            f.write(TRAIN_YAML.format(
+                arch_lines=TINY_ARCH if tiny else FULL_ARCH_TRAIN,
+                max_txt_len=64 if tiny else 160, img_size=img_size,
+                data_root=data_root, device=device, lr=lr, epochs=epochs,
+                iters=iters, batch=batch, out_dir=out_dir,
+                warmup=min(50, iters // 2)))
+        wall = run_cmd([sys.executable, os.path.join(ROOT, "train.py"),
+                        "--cfg-path", train_cfg],
+                       os.path.join(args.workdir, "train.log"),
+                       timeout=3600 if tiny else 14400)
+        summary["train_wall_s"] = round(wall, 1)
+        # loss trajectory from the runner's json-line log
+        losses = []
+        for dirpath, _, files in os.walk(out_dir):
+            if "log.txt" in files:
+                for line in open(os.path.join(dirpath, "log.txt")):
+                    try:
+                        row = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if "train_loss" in row:
+                        losses.append(float(row["train_loss"]))
+        summary["train_loss_first"] = round(losses[0], 4) if losses else None
+        summary["train_loss_last"] = round(losses[-1], 4) if losses else None
+
+    ckpt = find_last_checkpoint(out_dir)
+    summary["ckpt"] = ckpt
+
+    eval_cfg = os.path.join(args.workdir, "eval.yaml")
+    with open(eval_cfg, "w") as f:
+        f.write(EVAL_YAML.format(
+            arch_lines=(TINY_ARCH if tiny
+                        else FULL_ARCH_EVAL.format(chunks=args.prefill_chunks)),
+            max_txt_len=64 if tiny else 160, img_size=img_size, ckpt=ckpt,
+            spec=args.spec, data_root=data_root, device=device))
+    results = os.path.join(args.workdir, "results.jsonl")
+    eval_log = os.path.join(args.workdir, "eval.log")
+    wall = run_cmd([sys.executable,
+                    os.path.join(ROOT, "evaluation_aqa_dataset.py"),
+                    "--cfg-path", eval_cfg, "--task_type", "1cls",
+                    "--split", "mvtec", "--bs", str(bs_eval),
+                    "--save_path", results, "--bench", "--greedy",
+                    "--max_new_tokens", str(max_new)],
+                   eval_log, timeout=3600 if tiny else 10800)
+    summary["eval_wall_s"] = round(wall, 1)
+
+    bench_lines = [l for l in open(eval_log)
+                   if l.startswith("{") and "images/sec" in l]
+    if bench_lines:
+        rec = json.loads(bench_lines[-1])
+        summary["images_per_sec"] = rec["value"]
+        summary["spec_acceptance"] = rec.get("spec_acceptance")
+        summary["phase_means_s"] = rec.get("phase_means_s")
+    rows = [json.loads(l) for l in open(results)]
+    summary["n_results"] = len(rows)
+    # do greedy generations actually template?  (the training target's
+    # shared prefix — see datasets/anomaly_detection.py NORMAL/ABNORMAL)
+    templated = sum(r["output"].strip().startswith(("Yes,", "No,"))
+                    for r in rows)
+    summary["templated_frac"] = round(templated / max(len(rows), 1), 3)
+    summary["sample_outputs"] = [r["output"][:80] for r in rows[:3]]
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
