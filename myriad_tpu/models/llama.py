@@ -67,6 +67,11 @@ class LlamaConfig:
     # path; partitions per-(batch, head) under GSPMD meshes
     # (ops/prefill_attention.py custom_partitioning).
     flash_prefill: bool = True
+    # per-row-frontier cache writes (serving engine / speculative rewind):
+    # "auto" = Pallas in-place kernel on single-device TPU, XLA elsewhere
+    # (ops/kv_write.py).  Sharded serving MUST pin an XLA impl ("vmap" /
+    # "scatter") — the raw Pallas call has no GSPMD partitioning rule.
+    kv_write_impl: str = "auto"
 
     @property
     def kv_heads(self) -> int:
@@ -278,9 +283,15 @@ class LlamaAttention(nn.Module):
                         upd, [(0, 0), (0, 0), (0, max_t - upd.shape[2]), (0, 0)]
                     )
                 if getattr(idx, "ndim", 0) == 1:
-                    return jax.vmap(
-                        lambda c, u, i: jax.lax.dynamic_update_slice(c, u, (0, i, 0))
-                    )(buf, upd, idx)
+                    # per-row frontiers (serving engine / speculative
+                    # rewind): route through ops/kv_write — XLA's own
+                    # lowering rewrites the WHOLE pool per step (~10 GB of
+                    # HBM traffic at 48 slots; kv_write.py docstring)
+                    from myriad_tpu.ops import kv_write
+
+                    return kv_write.kv_cache_write(
+                        buf, upd, idx, impl=None
+                        if cfg.kv_write_impl == "auto" else cfg.kv_write_impl)
                 return jax.lax.dynamic_update_slice(buf, upd, (0, 0, idx, 0))
 
             if "k_scale" in cache:

@@ -302,6 +302,12 @@ class VisionExpert:
             assert self._ref_bank is not None, "call build_reference_bank first"
             refs = [bank[idx] for bank in self._ref_bank]
             return self._one_shot_jit(self.params, images, refs)
-        assert self._text_feats is not None, "call build_text_features first"
+        if self._text_feats is None:
+            # lazy one-time build: the reference encodes the prompt ensemble
+            # inside every forward (anomaly_gpt train path) — here the first
+            # zero-shot call hoists it into the cache, so callers that never
+            # ran build_text_features explicitly (e.g. train.py) still work
+            assert self.tokenizer is not None, "call build_text_features first"
+            self.build_text_features()
         tf = self._text_feats[idx]
         return self._zero_shot_jit(self.params, images, tf)

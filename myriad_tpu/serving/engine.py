@@ -164,6 +164,14 @@ class ServingEngine:
         lookup_ids=None,
         max_queued_device_bytes: int = 512 << 20,
     ):
+        if mesh is not None and model.config.kv_write_impl == "auto":
+            # sharded pools must take an XLA write impl: the Pallas
+            # in-place write (ops/kv_write.py) has no GSPMD partitioning
+            # rule, so under a mesh GSPMD would gather the pool around it
+            import dataclasses
+
+            model = model.clone(config=dataclasses.replace(
+                model.config, kv_write_impl="vmap"))
         self.model = model
         self.params = params
         self.slots = int(slots)

@@ -192,3 +192,47 @@ def test_mha_dispatch_cpu_uses_xla(rng):
     k = jnp.asarray(rng.normal(size=(1, 2, 4, 16)), jnp.float32)
     out = mha(q, k, k)
     assert out.shape == (1, 2, 4, 16)
+
+
+# -- kv_write: per-row-frontier cache writes ---------------------------------
+
+def test_kv_write_impls_agree(rng):
+    from myriad_tpu.ops import kv_write
+
+    b, h, T, d = 5, 4, 32, 16
+    for t in (1, 4):
+        for dtype in (jnp.int8, jnp.bfloat16):
+            buf = jnp.asarray(rng.integers(-100, 100, (b, h, T, d)), dtype)
+            upd = jnp.asarray(rng.integers(-100, 100, (b, h, t, d)), dtype)
+            # 29/31 exercise the dus start clamp; 0 the left edge
+            idx = jnp.asarray([0, 7, 29, 15, 31], jnp.int32)
+            ref = kv_write.kv_cache_write(buf, upd, idx, impl="vmap")
+            for impl in ("scatter", "pallas_interpret"):
+                out = kv_write.kv_cache_write(buf, upd, idx, impl=impl)
+                np.testing.assert_array_equal(
+                    np.asarray(out), np.asarray(ref),
+                    err_msg=f"impl={impl} t={t} dtype={dtype}")
+
+
+def test_kv_write_untouched_rows_preserved(rng):
+    from myriad_tpu.ops import kv_write
+
+    b, h, T, d = 3, 2, 16, 8
+    buf = jnp.asarray(rng.integers(-100, 100, (b, h, T, d)), jnp.int8)
+    upd = jnp.asarray(rng.integers(-100, 100, (b, h, 1, d)), jnp.int8)
+    idx = jnp.asarray([2, 9, 14], jnp.int32)
+    out = np.asarray(kv_write.kv_cache_write(buf, upd, idx,
+                                             impl="pallas_interpret"))
+    ref = np.asarray(buf).copy()
+    for r, i in enumerate([2, 9, 14]):
+        ref[r, :, i, :] = np.asarray(upd)[r, :, 0, :]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_kv_write_env_override(rng, monkeypatch):
+    from myriad_tpu.ops import kv_write
+
+    monkeypatch.setenv("MYRIAD_KV_WRITE", "scatter")
+    assert kv_write.default_impl(128) == "scatter"
+    monkeypatch.delenv("MYRIAD_KV_WRITE")
+    assert kv_write.default_impl(1) == "vmap"  # scales stay on vmap
