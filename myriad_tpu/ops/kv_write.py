@@ -108,9 +108,13 @@ _IMPLS = {
 def default_impl(upd_width: int) -> str:
     """Env override MYRIAD_KV_WRITE=pallas|scatter|vmap; auto = pallas on
     TPU for the payload arrays, vmap elsewhere.  The per-position quant
-    scales (D == 1) stay on vmap everywhere: their full-pool rewrite is
-    ~0.3 ms/step at 48 slots and 1-lane Pallas blocks waste the VPU."""
+    scales (D == 1) stay on vmap even when the env forces pallas: a 1-lane
+    block violates Mosaic's (8, 128) block-divisibility rule (measured
+    lowering error, sweep_r4c burst_pallas) and their full-pool rewrite is
+    only ~0.3 ms/step at 48 slots anyway."""
     env = os.environ.get("MYRIAD_KV_WRITE", "").strip()
+    if env.startswith("pallas") and upd_width < 8:
+        return "vmap"
     if env:
         return env
     return "pallas" if (upd_width >= 8 and on_tpu()) else "vmap"
@@ -120,5 +124,7 @@ def kv_cache_write(buf: jnp.ndarray, upd: jnp.ndarray, idx: jnp.ndarray,
                    impl: str | None = None) -> jnp.ndarray:
     """Write ``upd`` (B, H, t, D) into ``buf`` (B, H, T, D) at per-row
     start positions ``idx`` (B,), clamped to fit; returns the buffer."""
+    if impl and impl.startswith("pallas") and upd.shape[-1] < 8:
+        impl = "vmap"  # see default_impl: 1-lane blocks can't lower
     fn = _IMPLS[impl or default_impl(upd.shape[-1])]
     return fn(buf, upd, idx)

@@ -234,5 +234,24 @@ def test_kv_write_env_override(rng, monkeypatch):
 
     monkeypatch.setenv("MYRIAD_KV_WRITE", "scatter")
     assert kv_write.default_impl(128) == "scatter"
+    # forced pallas must NOT capture the 1-lane quant-scale writes: the
+    # (.., 1) block can't satisfy Mosaic's divisibility rule (sweep_r4c)
+    monkeypatch.setenv("MYRIAD_KV_WRITE", "pallas")
+    assert kv_write.default_impl(1) == "vmap"
+    assert kv_write.default_impl(128) == "pallas"
     monkeypatch.delenv("MYRIAD_KV_WRITE")
     assert kv_write.default_impl(1) == "vmap"  # scales stay on vmap
+
+
+def test_kv_write_explicit_pallas_narrow_falls_back(rng):
+    """A config-pinned impl='pallas' on a (B,H,t,1) scale buffer must route
+    to vmap instead of failing Mosaic lowering."""
+    from myriad_tpu.ops import kv_write
+
+    b, h, T = 3, 2, 16
+    buf = jnp.asarray(rng.standard_normal((b, h, T, 1)), jnp.float32)
+    upd = jnp.asarray(rng.standard_normal((b, h, 1, 1)), jnp.float32)
+    idx = jnp.asarray([2, 9, 14], jnp.int32)
+    out = kv_write.kv_cache_write(buf, upd, idx, impl="pallas")
+    ref = kv_write.kv_cache_write(buf, upd, idx, impl="vmap")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
