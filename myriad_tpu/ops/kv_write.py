@@ -36,9 +36,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from myriad_tpu.ops._util import on_tpu
-
-
 def _write_vmap(buf, upd, idx):
     return jax.vmap(
         lambda c, u, i: jax.lax.dynamic_update_slice(c, u, (0, i, 0))
@@ -106,18 +103,25 @@ _IMPLS = {
 
 
 def default_impl(upd_width: int) -> str:
-    """Env override MYRIAD_KV_WRITE=pallas|scatter|vmap; auto = pallas on
-    TPU for the payload arrays, vmap elsewhere.  The per-position quant
-    scales (D == 1) stay on vmap even when the env forces pallas: a 1-lane
-    block violates Mosaic's (8, 128) block-divisibility rule (measured
-    lowering error, sweep_r4c burst_pallas) and their full-pool rewrite is
-    only ~0.3 ms/step at 48 slots anyway."""
+    """Env override MYRIAD_KV_WRITE=pallas|scatter|vmap; auto = vmap.
+
+    Measured on the engine burst workload (v5e, 192 req / 48 slots /
+    segment 32, int8 weights+KV, r4d): vmap 6.48 req/s, pallas payload
+    writes 4.48 req/s, scatter OOM (XLA materializes pool copies).  The
+    pallas kernel's aliased reshape to (B, H, T*D) breaks XLA's donation
+    chain inside the segment loop — the pool round-trips through a copy
+    that costs more than vmap's dus+select rewrite — so it stays a
+    shelved kernel behind MYRIAD_KV_WRITE=pallas (tools/sweep_shelved.sh
+    re-adjudicates).  The per-position quant scales (D == 1) stay on vmap
+    even when the env forces pallas: a 1-lane block violates Mosaic's
+    (8, 128) block-divisibility rule (measured lowering error, sweep_r4c
+    burst_pallas)."""
     env = os.environ.get("MYRIAD_KV_WRITE", "").strip()
     if env.startswith("pallas") and upd_width < 8:
         return "vmap"
     if env:
         return env
-    return "pallas" if (upd_width >= 8 and on_tpu()) else "vmap"
+    return "vmap"
 
 
 def kv_cache_write(buf: jnp.ndarray, upd: jnp.ndarray, idx: jnp.ndarray,

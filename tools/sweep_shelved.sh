@@ -61,4 +61,17 @@ run spec_staged_b24 MYRIAD_SPEC_STAGED=1 --no-harness --spec 3 \
 run prefill_tiny_tq_b24 MYRIAD_PREFILL_MIN_TQ=1 --no-harness --spec 3 \
   --spec-oracle --batch 24 --prefill-chunks 1
 
+# 6. Pallas per-row KV pool writes in the serving engine: the aliased
+#    reshape breaks the pool's donation chain inside the segment loop
+#    (4.48 vs 6.48 req/s burst, r4d).  Wins if pallas_call aliasing learns
+#    to see through contiguous reshapes (or a 4-D 1-wide T block lowers).
+erun() {  # engineprobe variant of run
+  name=$1; envs=$2; shift 2
+  echo "=== $name [$envs]: $* ===" | tee -a "$OUT/summary.log"
+  timeout 3600 env $envs python tools/engineprobe.py "$@" > "$OUT/$name.log" 2>&1
+  tail -1 "$OUT/$name.log" | tee -a "$OUT/summary.log"
+}
+erun kvwrite_vmap MYRIAD_KV_WRITE=vmap --mode burst --requests 192 --slots 48 --segment 32
+erun kvwrite_pallas MYRIAD_KV_WRITE=pallas --mode burst --requests 192 --slots 48 --segment 32
+
 echo "=== sweep_shelved done ===" | tee -a "$OUT/summary.log"
