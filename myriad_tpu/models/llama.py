@@ -283,12 +283,17 @@ class LlamaAttention(nn.Module):
                         upd, [(0, 0), (0, 0), (0, max_t - upd.shape[2]), (0, 0)]
                     )
                 if getattr(idx, "ndim", 0) == 1:
-                    # per-row frontiers (serving engine / speculative
-                    # rewind): route through ops/kv_write — XLA's own
-                    # lowering rewrites the WHOLE pool per step (~10 GB of
-                    # HBM traffic at 48 slots; kv_write.py docstring)
                     from myriad_tpu.ops import kv_write
 
+                    if idx.shape[0] != buf.shape[0]:
+                        # per-BLOCK frontiers (serving engine block KV
+                        # layout): contiguous row blocks share a scalar
+                        # start — G in-place dus ops, no pool rewrite
+                        return kv_write.kv_cache_write_blocks(buf, upd, idx)
+                    # per-row frontiers (speculative rewind / legacy
+                    # engine mode): route through ops/kv_write — XLA's own
+                    # lowering rewrites the WHOLE pool per step (~10 GB of
+                    # HBM traffic at 48 slots; kv_write.py docstring)
                     return kv_write.kv_cache_write(
                         buf, upd, idx, impl=None
                         if cfg.kv_write_impl == "auto" else cfg.kv_write_impl)
@@ -437,12 +442,22 @@ class LlamaModel(nn.Module):
         cache: Optional[Tuple[Cache, ...]] = None,
         deterministic: bool = True,
         kv_limit: Optional[int] = None,
+        storage_positions: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[Tuple[Cache, ...]]]:
         """attention_mask: (B, T_kv) 1/0 over key positions (incl. cache).
 
         ``kv_limit`` (static int): attend only over cache positions
         < kv_limit — exact whenever the write frontier stays below it
         (staged decode streams the valid cache prefix, not the bucket).
+
+        ``storage_positions`` (B, T): the causal-mask bound, when cache
+        STORAGE columns differ from logical token positions — the serving
+        engine's block KV layout stores rows right-padded to a shared
+        block frontier, so a token's column exceeds its RoPE position and
+        the default ``k_pos <= positions`` predicate would cut off valid
+        entries.  ``positions`` keeps feeding RoPE (logical); the bound
+        runs over storage columns.  Callers supplying it must also pass
+        ``attention_mask`` marking the real (non-hole) columns.
 
         Returns final hidden states (B, T, D) and updated caches.
         """
@@ -469,7 +484,8 @@ class LlamaModel(nn.Module):
         # < the query's), so stale entries from a speculative rollback are
         # never attended to.  Combined with the optional key-padding mask.
         k_pos = jnp.arange(kv_len, dtype=jnp.int32)
-        allowed = k_pos[None, None, None, :] <= positions[:, None, :, None]
+        bound = positions if storage_positions is None else storage_positions
+        allowed = k_pos[None, None, None, :] <= bound[:, None, :, None]
         if attention_mask is not None:
             key_ok = attention_mask[:, None, None, :].astype(bool)
             allowed = jnp.logical_and(allowed, key_ok)
@@ -550,11 +566,13 @@ class LlamaForCausalLM(nn.Module):
         deterministic: bool = True,
         input_ids: Optional[jnp.ndarray] = None,
         kv_limit: Optional[int] = None,
+        storage_positions: Optional[jnp.ndarray] = None,
     ):
         if inputs_embeds is None:
             inputs_embeds = self.embed(input_ids)
         hidden, new_cache = self.model(
-            inputs_embeds, attention_mask, positions, cache, deterministic, kv_limit
+            inputs_embeds, attention_mask, positions, cache, deterministic,
+            kv_limit, storage_positions
         )
         return self.logits(hidden), new_cache
 

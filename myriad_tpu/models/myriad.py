@@ -299,6 +299,7 @@ class Myriad(BaseModel):
         prefill_chunks: int = 1,
         staged_decode: bool = False,
         cache_granularity: int = 32,
+        train_llm_head: bool = False,
     ):
         self.arch = arch or MyriadArch.full()
         if use_lora:
@@ -313,6 +314,8 @@ class Myriad(BaseModel):
         self.freeze_qformer = freeze_qformer
         self.freeze_llama = freeze_llama
         self.use_lora = use_lora
+        # echo-state output readout (see _trainable_predicate)
+        self.train_llm_head = bool(train_llm_head)
         self.use_ve = use_ve
         self.round_index = round_index
         self.k_shot = k_shot
@@ -458,6 +461,20 @@ class Myriad(BaseModel):
             if path.startswith(("expert_adaptor", "ve_instructor", "ve_tokenizer")):
                 return True
             if self.use_lora and re.search(r"lora_[ab]", path):
+                return True
+            if self.train_llm_head and path.startswith("llama/lm_head"):
+                # echo-state readout: with an untrained frozen body (the
+                # in-sandbox regime — real Vicuna weights aren't available)
+                # LoRA alone cannot bend random features into a language
+                # model, but a trained OUTPUT head over the frozen random
+                # body reproduces the templated task answers exactly
+                # (measured: tiny d=64 probe emits both reference answer
+                # sentences greedily after 300 head-only steps).  Backward
+                # stops at the head — no body backprop — so this trains at
+                # roughly forward cost even at 7B.  No reference
+                # counterpart (its frozen body is pretrained Vicuna,
+                # myriad.py:162-199); this knob exists to measure real
+                # speculative acceptance end-to-end in-sandbox.
                 return True
             if not self.freeze_qformer and (
                 path.startswith("qformer") or path == "query_tokens"
@@ -1085,6 +1102,10 @@ class Myriad(BaseModel):
             # KV bucket rounding + staged-span width
             # (generation.GenerationConfig.cache_granularity)
             cache_granularity=cfg.get("llm_cache_granularity", 32),
+            # echo-state output readout: train lm_head over the frozen body
+            # (in-sandbox stand-in for a pretrained Vicuna — see
+            # _trainable_predicate)
+            train_llm_head=cfg.get("train_llm_head", False),
         )
 
         # pretrained tower bootstrap: `weights: {vit, qformer, llama,

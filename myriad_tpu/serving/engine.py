@@ -47,6 +47,14 @@ Design notes (TPU/XLA constraints drive everything):
   many decode steps per host round-trip (CLAUDE.md).
 * **Donated state.** The engine state (cache included) is donated through
   insert/segment calls, so XLA updates the multi-GiB cache in place.
+* **Block KV layout** (``block_size``): per-row write frontiers make XLA
+  rewrite the whole pool every decode step (vmap dus+select; the measured
+  78-vs-25 ms/step gap to fixed-batch decode).  Allocating slots in
+  contiguous blocks that share ONE storage frontier turns the write into
+  a handful of scalar-start in-place dus ops; per-row raggedness moves
+  into an attended-columns bitmap + a storage-column causal bound
+  (llama ``storage_positions``).  Greedy burst/trickle serving default;
+  spec and held conversations keep per-row frontiers (``__init__`` note).
 
 Token streams are bit-identical to ``generation.greedy_generate`` run
 per-request (same select/stop/emit semantics; masked bucket tails
@@ -163,6 +171,7 @@ class ServingEngine:
         spec_k: int = 0,
         lookup_ids=None,
         max_queued_device_bytes: int = 512 << 20,
+        block_size: int = 0,
     ):
         if mesh is not None and model.config.kv_write_impl == "auto":
             # sharded pools must take an XLA write impl: the Pallas
@@ -199,6 +208,42 @@ class ServingEngine:
         self.spec_k = int(spec_k)
         self._lookup_ids = (None if lookup_ids is None
                             else np.asarray(lookup_ids, np.int32).reshape(-1))
+        # block KV layout: rows are allocated in contiguous blocks of
+        # ``block_size`` slots that share ONE storage frontier — the KV
+        # write becomes G scalar-index dynamic_update_slices that XLA
+        # keeps in place (ops/kv_write.kv_cache_write_blocks), instead of
+        # the per-row vmap write that rewrites the whole pool every step
+        # (~10 GB/step at 48 slots; the measured 78 vs ~25 ms/step gap
+        # between engine and fixed-batch decode, BENCH_NOTES round 4).
+        # A row's tokens then live at storage columns that can EXCEED its
+        # logical positions (admission right-pads the whole block to the
+        # chunk width; done rows' blocks keep advancing while any mate is
+        # active), so the engine carries a per-row attended-columns
+        # bitmap (the attention_mask) and passes the block frontier as
+        # the causal bound (llama storage_positions).  Costs: admission
+        # is block-granular (a partially filled block admits nothing
+        # until it frees), and per-row capacity is charged at the padded
+        # chunk width, not the prompt length.  Greedy-only: speculative
+        # acceptance rewinds frontiers per row, and held multi-turn
+        # conversations re-arm rows at per-row frontiers — both keep the
+        # per-row layout (block_size=0).
+        self.block_size = int(block_size)
+        if self.block_size:
+            if self.slots % self.block_size:
+                raise ValueError(
+                    f"block_size {self.block_size} does not divide "
+                    f"{self.slots} slots")
+            if self.spec_k:
+                raise ValueError(
+                    "block KV layout is greedy-only (speculative "
+                    "acceptance diverges per-row frontiers) — use "
+                    "block_size=0 with spec_k")
+        self.n_blocks = (self.slots // self.block_size
+                         if self.block_size else 0)
+        # rows of a partially filled block: no request, but not admissible
+        # until the whole block frees (their block's frontier is pinned to
+        # the admitted chunk's width)
+        self._slot_blocked: List[bool] = [False] * self.slots
         self.admit_widths = tuple(sorted(w for w in admit_widths if w <= bucket))
         assert self.admit_widths, "no admission width fits the bucket"
         # each (width, n) chunk shape is a full prefill compile — cap n so
@@ -242,9 +287,11 @@ class ServingEngine:
         cfg, max_new = self.cfg, self.cfg.max_new_tokens
         cache = init_cache(self.model.config, self.slots, self.bucket,
                            self.cache_dtype)
-        # per-row frontiers from the start (init_cache's scalar 0 index
-        # would take the fresh-cache zero-pad write path on first segment)
-        cache = tuple(dict(c, index=jnp.zeros((self.slots,), jnp.int32))
+        # per-row (or per-block) frontiers from the start (init_cache's
+        # scalar 0 index would take the fresh-cache zero-pad write path
+        # on the first segment)
+        idx_n = self.n_blocks if self.block_size else self.slots
+        cache = tuple(dict(c, index=jnp.zeros((idx_n,), jnp.int32))
                       for c in cache)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -255,7 +302,7 @@ class ServingEngine:
                 {k: jax.device_put(v, kv if v.ndim == 4 else rep)
                  for k, v in c.items()}
                 for c in cache)
-        return dict(
+        state = dict(
             cache=cache,
             length=jnp.zeros((self.slots,), jnp.int32),   # write frontier
             last=jnp.zeros((self.slots,), jnp.int32),     # next token to emit
@@ -268,6 +315,15 @@ class ServingEngine:
                             cfg.pad_token_id, jnp.int32),
             rng=self._rng,
         )
+        if self.block_size:
+            # block layout (``block_size`` note in __init__): `length`
+            # above stays the LOGICAL frontier (RoPE positions + emit
+            # budget); `store` is the per-block STORAGE frontier the KV
+            # writes use; `bitmap` marks each row's real (attended)
+            # cache columns
+            state["store"] = jnp.zeros((self.n_blocks,), jnp.int32)
+            state["bitmap"] = jnp.zeros((self.slots, self.bucket), bool)
+        return state
 
     # ------------------------------------------------------------- programs
     def _prefill_prog(self, width: int, n: int):
@@ -297,24 +353,34 @@ class ServingEngine:
         return prefill
 
     def _make_insert(self):
-        """(state, mini_cache (n rows), slots (n,), last0 (n,), valid (n,))
-        -> state with the chunk grafted into rows ``slots`` (one scatter
-        per cache leaf; re-traces once per (width, n) chunk shape)."""
+        """(state, mini_cache (n rows), slots (n,), last0 (n,), valid (n,)
+        [, blocks (m,)]) -> state with the chunk grafted into rows
+        ``slots`` (one scatter per cache leaf; re-traces once per
+        (width, n) chunk shape).  Block mode additionally pins the touched
+        blocks' storage frontiers to the chunk width and rewrites the
+        rows' attended-column bitmaps ([0, valid) real, the pad tail and
+        every stale prior-tenant column dead)."""
         cfg, max_new = self.cfg, self.cfg.max_new_tokens
         buf_width = max_new + self.spec_k + 1
+        bucket = self.bucket
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def insert(state, mini, slots, last0, valid):
+        def insert(state, mini, slots, last0, valid, blocks=None):
             def put_rows(big, small):
                 # scatter the n mini rows into their slots; trailing dims of
                 # the mini leaf may be narrower (width < bucket) — slice them
                 idx = (slots,) + tuple(slice(0, d) for d in small.shape[1:])
                 return big.at[idx].set(small.astype(big.dtype))
 
+            width = mini[0]["k"].shape[2]
+            if blocks is None:
+                new_index = lambda bc: bc["index"].at[slots].set(valid)
+            else:
+                new_index = lambda bc: bc["index"].at[blocks].set(width)
             cache = tuple(
                 dict(
                     {k: put_rows(bc[k], mc[k]) for k in bc if k != "index"},
-                    index=bc["index"].at[slots].set(valid),
+                    index=new_index(bc),
                 )
                 for bc, mc in zip(state["cache"], mini)
             )
@@ -322,7 +388,7 @@ class ServingEngine:
             n = slots.shape[0]
             tokens = state["tokens"].at[slots].set(
                 jnp.full((n, buf_width), cfg.pad_token_id, jnp.int32))
-            return dict(
+            out = dict(
                 cache=cache,
                 length=state["length"].at[slots].set(valid),
                 last=state["last"].at[slots].set(last0),
@@ -332,6 +398,12 @@ class ServingEngine:
                 tokens=tokens,
                 rng=state["rng"],
             )
+            if blocks is not None:
+                out["store"] = state["store"].at[blocks].set(width)
+                rows = (jnp.arange(bucket, dtype=jnp.int32)[None, :]
+                        < valid[:, None])
+                out["bitmap"] = state["bitmap"].at[slots].set(rows)
+            return out
 
         return insert
 
@@ -481,6 +553,83 @@ class ServingEngine:
                 length = st["length"] + active.astype(jnp.int32)
                 cache = tuple(dict(c, index=length) for c in cache)
                 return dict(cache=cache, length=length,
+                            last=jnp.where(active, nxt, st["last"]),
+                            prev=jnp.where(active, st["last"], st["prev"]),
+                            done=done, n_emit=n_emit, tokens=tokens, rng=rng,
+                            step=st["step"] + 1,
+                            live=st["live"] + jnp.sum(active.astype(jnp.int32)))
+
+            st = dict(state, step=jnp.int32(0), live=jnp.int32(0))
+            st = jax.lax.while_loop(cond, body, st)
+            nsteps = st.pop("step")
+            live = st.pop("live")
+            return st, nsteps, live, jnp.int32(0), jnp.int32(0)
+
+        return run
+
+    def _make_segment_block(self):
+        """Block-layout greedy segment (``block_size`` note in __init__).
+
+        Differences from ``_make_segment``: the KV write index is the
+        per-BLOCK storage frontier (G scalar-start in-place dus ops via
+        llama's cache-index dispatch), attention takes the row bitmap as
+        the key mask plus the block frontier as the causal bound
+        (storage columns exceed logical positions), and RoPE keeps the
+        per-row LOGICAL ``length``.  A block's frontier advances while
+        ANY of its rows is active; its done rows junk-write at the
+        frontier with their bitmap bit unset — mask-dead, and the next
+        tenant's insert rewrites the whole row bitmap."""
+        model, cfg = self.model, self.cfg
+        max_new, steps = self.cfg.max_new_tokens, self.segment
+        G, Bg = self.n_blocks, self.block_size
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run(params, state):
+            def cond(st):
+                return jnp.logical_and(st["step"] < steps,
+                                       ~jnp.all(st["done"]))
+
+            def body(st):
+                active = ~st["done"]
+                offset = jnp.where(st["done"], max_new,
+                                   jnp.minimum(st["n_emit"], max_new - 1))
+                emit = jnp.where(active, st["last"], cfg.pad_token_id)
+                tokens = jax.vmap(
+                    lambda row, w, o: jax.lax.dynamic_update_slice(row, w, (o,))
+                )(st["tokens"], emit[:, None], offset)
+
+                # each row's write column = its block's storage frontier;
+                # mark it attended for active rows BEFORE the forward
+                # (write-then-attend: the fresh K/V must see itself)
+                col = jnp.repeat(st["store"], Bg)
+                bitmap = st["bitmap"].at[
+                    jnp.arange(self.slots), col].max(active)
+                embeds = model.apply(params, st["last"][:, None],
+                                     method=LlamaForCausalLM.embed)
+                cache = tuple(dict(c, index=st["store"])
+                              for c in st["cache"])
+                logits, cache = model.apply(
+                    params, embeds,
+                    positions=st["length"][:, None],
+                    attention_mask=bitmap,
+                    storage_positions=col[:, None],
+                    cache=cache)
+                rng, sub = jax.random.split(st["rng"])
+                nxt = _select_token(logits[:, -1].astype(jnp.float32), cfg, sub)
+                stopped = (
+                    (nxt == cfg.eos_token_id)
+                    | (nxt == cfg.stop_single)
+                    | ((st["last"] == cfg.stop_pair[0])
+                       & (nxt == cfg.stop_pair[1]))
+                )
+                n_emit = st["n_emit"] + active.astype(jnp.int32)
+                done = st["done"] | stopped | (n_emit >= max_new)
+                length = st["length"] + active.astype(jnp.int32)
+                block_live = jnp.any(active.reshape(G, Bg), axis=1)
+                store = st["store"] + block_live.astype(jnp.int32)
+                cache = tuple(dict(c, index=store) for c in cache)
+                return dict(cache=cache, length=length, store=store,
+                            bitmap=bitmap,
                             last=jnp.where(active, nxt, st["last"]),
                             prev=jnp.where(active, st["last"], st["prev"]),
                             done=done, n_emit=n_emit, tokens=tokens, rng=rng,
@@ -645,9 +794,17 @@ class ServingEngine:
         conversation with only the next turn's delta — the engine-level
         form of the incremental chat primitive
         (generation.continue_generate)."""
+        if hold and self.block_size:
+            raise ValueError(
+                "held conversations need per-row frontiers — construct "
+                "the engine with block_size=0 for multi-turn serving")
         embeds = np.asarray(embeds)
         assert embeds.ndim == 2, "submit expects a single (T, D) prompt"
         t = embeds.shape[0]
+        if self.block_size:
+            # block layout charges capacity at the padded admission width
+            # (the whole block's frontier starts there)
+            t = next((w for w in self.admit_widths if w >= t), t)
         # slack = 2K+1: a verify round can overshoot max_new by K emitted
         # tokens (frontier t+max_new+K), and a finished-but-resident row
         # keeps junk-writing K+1 positions at its frontier while
@@ -700,12 +857,19 @@ class ServingEngine:
             raise ValueError(
                 f"group width {width} is not on the admission ladder "
                 f"{self.admit_widths} — pad to a ladder width")
+        if hold and self.block_size:
+            raise ValueError(
+                "held conversations need per-row frontiers — construct "
+                "the engine with block_size=0 for multi-turn serving")
         valid = np.broadcast_to(np.asarray(valid, np.int32), (n,)).copy()
         slack = 2 * self.spec_k + 1
         worst = int(valid.max()) if n else 0
-        if worst + self.cfg.max_new_tokens + slack > self.bucket:
+        # block layout charges capacity at the padded width (the whole
+        # block's storage frontier starts there)
+        charged = width if self.block_size else worst
+        if charged + self.cfg.max_new_tokens + slack > self.bucket:
             raise ValueError(
-                f"prompt of {worst} tokens + max_new "
+                f"prompt of {charged} tokens + max_new "
                 f"{self.cfg.max_new_tokens} (+{slack} verify slack) does "
                 f"not fit the {self.bucket}-token bucket")
         if n and (worst > width or int(valid.min()) < 1):
@@ -793,8 +957,36 @@ class ServingEngine:
                    and isinstance(e.embeds, jax.Array))
 
     def _free_slots(self) -> List[int]:
+        if self.block_size:
+            # block mode: only rows of FULLY-free blocks are admissible
+            # (a partial block's frontier is pinned to its tenants' chunk
+            # width), listed block-contiguously so admission chunks map
+            # onto whole blocks
+            self._unblock_free_blocks()
+            return [s for g in self._free_blocks()
+                    for s in range(g * self.block_size,
+                                   (g + 1) * self.block_size)]
         return [s for s in range(self.slots)
                 if self._slot_req[s] is None and not self._slot_hold[s]]
+
+    def _free_blocks(self) -> List[int]:
+        Bg = self.block_size
+        return [g for g in range(self.n_blocks)
+                if all(self._slot_req[s] is None and not self._slot_hold[s]
+                       and not self._slot_blocked[s]
+                       for s in range(g * Bg, (g + 1) * Bg))]
+
+    def _unblock_free_blocks(self) -> None:
+        """Clear the blocked flags of blocks whose tenants all finished —
+        a partial block becomes admissible again only as a whole."""
+        Bg = self.block_size
+        for g in range(self.n_blocks):
+            rows = range(g * Bg, (g + 1) * Bg)
+            if (any(self._slot_blocked[s] for s in rows)
+                    and all(self._slot_req[s] is None
+                            and not self._slot_hold[s] for s in rows)):
+                for s in rows:
+                    self._slot_blocked[s] = False
 
     def _admit_pending(self) -> None:
         """Admit queued requests into free slots, FIFO across both entry
@@ -830,8 +1022,21 @@ class ServingEngine:
                     i += n
             else:
                 run: List[_Pending] = []
+                w0 = None
                 while (self._queue and len(run) < len(free)
                        and not isinstance(self._queue[0], _PendingBatch)):
+                    if self.block_size:
+                        # one width per admission round: a block's storage
+                        # frontier is one scalar, so it must never mix
+                        # chunk widths — later widths admit next round
+                        # (the outer loop re-lists free blocks, which
+                        # excludes this round's partially filled ones)
+                        w = next(x for x in self.admit_widths
+                                 if x >= self._queue[0].embeds.shape[0])
+                        if w0 is None:
+                            w0 = w
+                        elif w != w0:
+                            break
                     run.append(self._queue.pop(0))
                 by_width: Dict[int, List[Tuple[int, _Pending]]] = {}
                 it = iter(free)
@@ -870,8 +1075,22 @@ class ServingEngine:
         mini, last0 = self._prefill_prog(width, n)(
             self.params, jnp.asarray(padded), jnp.asarray(valid), sub)
         slots = jnp.asarray(slot_list, jnp.int32)
-        self._state = self._insert_prog(self._state, mini, slots, last0,
-                                        jnp.asarray(valid))
+        if self.block_size:
+            Bg = self.block_size
+            touched = sorted({s // Bg for s in slot_list})
+            self._state = self._insert_prog(
+                self._state, mini, slots, last0, jnp.asarray(valid),
+                jnp.asarray(touched, jnp.int32))
+            # leftover rows of a partially filled block: pinned until the
+            # whole block frees (_free_blocks)
+            taken = set(slot_list)
+            for g in touched:
+                for s in range(g * Bg, (g + 1) * Bg):
+                    if s not in taken and self._slot_req[s] is None:
+                        self._slot_blocked[s] = True
+        else:
+            self._state = self._insert_prog(self._state, mini, slots, last0,
+                                            jnp.asarray(valid))
         for slot, rid, t, h in zip(slot_list, rids, valid, holds):
             self._slot_req[slot] = rid
             self._slot_prompt_len[slot] = int(t)
@@ -899,8 +1118,10 @@ class ServingEngine:
         if not occupied:
             return []
         if self._segment_prog is None:
-            self._segment_prog = (self._make_segment_spec() if self.spec_k
-                                  else self._make_segment())
+            self._segment_prog = (
+                self._make_segment_spec() if self.spec_k
+                else self._make_segment_block() if self.block_size
+                else self._make_segment())
         self._state, nsteps, live, acc, drf = self._segment_prog(
             self.params, self._state)
         # ONE host round-trip for every per-tick scalar/vector the

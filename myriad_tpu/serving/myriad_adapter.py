@@ -55,6 +55,7 @@ class MyriadServing:
         admit_widths=(128, 256, 512),
         stage: int = 1,
         spec_k: int = 0,
+        block_size: int = 0,
     ):
         self.myriad = myriad
         self.stage = stage
@@ -74,7 +75,8 @@ class MyriadServing:
             llama, {"params": myriad.params["llama"]},
             slots=slots, bucket=bucket, config=self.cfg,
             cache_dtype=cache_dtype, segment=segment,
-            admit_widths=admit_widths, spec_k=spec_k)
+            admit_widths=admit_widths, spec_k=spec_k,
+            block_size=block_size)
         self._embed_progs: Dict[tuple, callable] = {}
         self._meta: Dict[int, Dict] = {}
         # lazy-submission host queue: stacked sample groups waiting to be

@@ -357,3 +357,107 @@ def test_spec_stop_inside_accepted_window_frontier_exact(tiny):
     full = jnp.concatenate([p1, jnp.asarray(emb_a1), p2], axis=0)
     np.testing.assert_array_equal(
         f2.tokens, _reference(model, params, full, cfg, jnp.float32))
+
+
+# -- block KV layout (engine.block_size) -------------------------------------
+
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, "int8"])
+def test_block_layout_matches_solo_greedy(tiny, cache_dtype):
+    """block_size>0: scalar block frontiers + bitmap masks + storage-bound
+    causality must be transcript-invisible — every request equals its solo
+    greedy_generate run across staggered arrivals, ragged valid lengths
+    (storage columns exceed logical positions) and dirty block reuse."""
+    model, params = tiny
+    rng = np.random.default_rng(11)
+    dim = model.config.hidden_size
+    lengths = [13, 5, 9, 3, 11, 7, 4, 8]  # ragged: valid < width skew
+    prompts = _prompts(rng, lengths, dim)
+
+    eng = ServingEngine(model, params, slots=4, bucket=64, config=CFG,
+                        cache_dtype=cache_dtype, segment=4,
+                        admit_widths=(16,), block_size=2)
+    results = {}
+    arrivals = list(enumerate(prompts))
+    tick = 0
+    while arrivals or eng.pending:
+        for _ in range(3):  # 3 per tick: chunks split across blocks
+            if arrivals:
+                i, p = arrivals.pop(0)
+                eng.submit(p, request_id=i)
+        for f in eng.step():
+            results[f.request_id] = f.tokens
+        tick += 1
+        assert tick < 200
+    assert sorted(results) == list(range(len(prompts)))
+    for i, p in enumerate(prompts):
+        ref = _reference(model, params, p, CFG, cache_dtype)
+        np.testing.assert_array_equal(results[i], ref, err_msg=f"request {i}")
+
+
+def test_block_layout_early_stop_and_partial_blocks(tiny):
+    """Early-stopping rows inside a block: the block frontier keeps
+    advancing for live mates, the stopped row's junk writes stay
+    mask-dead, and a partially filled block admits nothing until it
+    frees as a whole."""
+    model, params = tiny
+    rng = np.random.default_rng(3)
+    dim = model.config.hidden_size
+    prompts = _prompts(rng, [6, 8, 7], dim)
+    probe = np.asarray(greedy_generate(
+        model, params, prompts[0][None],
+        config=GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                                stop_single=-1, stop_pair=(-1, -1)),
+        cache_dtype=jnp.float32))[0]
+    cfg = GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                           stop_single=int(probe[2]), stop_pair=(-1, -1))
+
+    eng = ServingEngine(model, params, slots=4, bucket=64, config=cfg,
+                        cache_dtype=jnp.float32, segment=8,
+                        admit_widths=(8,), block_size=2)
+    eng.submit(prompts[0], request_id=0)
+    eng.submit(prompts[1], request_id=1)
+    # 2 rows -> 1 block; submit a third while the first block decodes:
+    # it must land in the SECOND block, never the first's free row
+    results = {f.request_id: f.tokens for f in eng.step()}
+    eng.submit(prompts[2], request_id=2)
+    results.update({f.request_id: f.tokens for f in eng.drain()})
+    for i, p in enumerate(prompts):
+        np.testing.assert_array_equal(
+            results[i], _reference(model, params, p, cfg, jnp.float32),
+            err_msg=f"request {i}")
+    assert len(results[0]) < cfg.max_new_tokens  # row 0 really stopped early
+
+    # partial-block pinning: 1 row in a 2-slot block blocks its mate...
+    eng2 = ServingEngine(model, params, slots=2, bucket=64, config=cfg,
+                         cache_dtype=jnp.float32, segment=2,
+                         admit_widths=(8,), block_size=2)
+    eng2.submit(prompts[1], request_id=0)
+    eng2.step()
+    assert eng2._slot_blocked[1] and eng2.free_slot_count == 0
+    eng2.submit(prompts[2], request_id=1)  # queues; cannot admit yet
+    results2 = {f.request_id: f.tokens for f in eng2.drain()}
+    # ...and unpins when the block frees (lazily, at the next allocation)
+    assert eng2.free_slot_count == 2 and not any(eng2._slot_blocked)
+    for rid, i in [(0, 1), (1, 2)]:
+        np.testing.assert_array_equal(
+            results2[rid], _reference(model, params, prompts[i], cfg,
+                                      jnp.float32))
+
+
+def test_block_layout_validation(tiny):
+    model, params = tiny
+    dim = model.config.hidden_size
+    with pytest.raises(ValueError):  # indivisible block size
+        ServingEngine(model, params, slots=3, bucket=64, config=CFG,
+                      block_size=2)
+    with pytest.raises(ValueError):  # spec needs per-row frontiers
+        ServingEngine(model, params, slots=4, bucket=64, config=CFG,
+                      block_size=2, spec_k=2)
+    eng = ServingEngine(model, params, slots=4, bucket=24, config=CFG,
+                        cache_dtype=jnp.float32, admit_widths=(8, 16),
+                        block_size=2)
+    with pytest.raises(ValueError):  # holds need per-row frontiers
+        eng.submit(np.zeros((4, dim), np.float32), hold=True)
+    with pytest.raises(ValueError):  # capacity charged at PADDED width:
+        eng.submit(np.zeros((9, dim), np.float32))  # 9 -> 16, +10+1 > 24
+    assert eng.submit(np.zeros((8, dim), np.float32)) is not None  # 8+11<=24

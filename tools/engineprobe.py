@@ -53,6 +53,12 @@ def main():
                    help="speculative decoding inside the engine: verify K "
                         "prompt-lookup drafts per weight pass "
                         "(transcript-exact; reports acceptance)")
+    p.add_argument("--block", type=int, default=None, metavar="B",
+                   help="block KV layout: rows allocated in blocks of B "
+                        "slots sharing one storage frontier (in-place "
+                        "writes, no per-row pool rewrite).  Default: 8 "
+                        "for greedy burst/trickle, 0 (per-row) for "
+                        "spec/chat which need per-row frontiers")
     p.add_argument("--quant", type=str, default="int8",
                    choices=["none", "int8"])
     p.add_argument("--kv", type=str, default="int8", choices=["bf16", "int8"])
@@ -148,10 +154,15 @@ def main():
                   f"(bucket {bucket}, {bytes_per_tok/2**20:.2f} MiB/token-slot, "
                   f"{kv_budget/2**30:.1f} GiB KV budget)", file=sys.stderr)
         args.slots = min(args.slots, 16, fit)
+    if args.block is None:
+        args.block = 0 if (args.spec or args.mode == "chat") else 8
+    if args.block and args.slots % args.block:
+        args.block = 0
     serving = MyriadServing(
         model, slots=args.slots, segment=args.segment,
         max_new_tokens=args.max_new, bucket=bucket,
-        admit_widths=(64, 160, 320), spec_k=args.spec)
+        admit_widths=(64, 160, 320), spec_k=args.spec,
+        block_size=args.block)
     serving.engine.profile_sync = args.sync_phases
 
     def sync_submit():
@@ -224,10 +235,11 @@ def main():
     throughput = n / wall
     stats = serving.stats
     spec_tag = f", spec {args.spec}" if args.spec else ""
+    block_tag = f", block {args.block}" if args.block else ""
     result = {
         "metric": f"serving req/s ({args.mode} arrivals, {args.slots} slots, "
                   f"segment {args.segment}, {args.max_new}-token answers, "
-                  f"weights {args.quant}, kv {args.kv}{spec_tag})",
+                  f"weights {args.quant}, kv {args.kv}{spec_tag}{block_tag})",
         "value": round(throughput, 4),
         "unit": "requests/sec",
         "requests": n,

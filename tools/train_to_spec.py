@@ -85,6 +85,7 @@ EVAL_YAML = """
 model:
   arch: myriad
   {arch_lines}
+  use_lora: True
   use_ve: True
   max_txt_len: {max_txt_len}
   end_sym: "###"
@@ -101,19 +102,30 @@ run:
   device: {device}
 """
 
-# the serving quant profile (BENCH_NOTES reproduction command)
+# the serving quant profile (BENCH_NOTES reproduction command).
+# train_llm_head: the in-sandbox body is RANDOM (no Vicuna weights), and
+# LoRA over a random frozen body cannot learn the LM task (measured:
+# loss plateaus at ~4.5 = unigram entropy, r4 overfit probes) — but a
+# trained OUTPUT readout over the frozen random features emits the
+# templated answers exactly (echo-state probe, myriad.py
+# _trainable_predicate note).  The eval config must set it too so the
+# checkpoint's lm_head merges into the trainable tree (trainable-only
+# checkpoints, base.load_checkpoint).
 FULL_ARCH_TRAIN = """vit_precision: fp32
   llm_weight_dtype: int8
+  train_llm_head: True
   use_grad_checkpoint: True"""
 FULL_ARCH_EVAL = """llm_weight_dtype: int8
   llm_kv_dtype: int8
   vit_weight_dtype: int8
   ve_weight_dtype: int8
   qformer_weight_dtype: int8
+  train_llm_head: True
   llm_prefill_chunks: {chunks}"""
 TINY_ARCH = """arch_preset: tiny
   image_size: 28
   llm_vocab_size: 320
+  train_llm_head: True
   vit_precision: fp32"""
 
 
