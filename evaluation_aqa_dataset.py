@@ -60,6 +60,17 @@ def parse_args():
                    help="deterministic argmax decode (default matches the "
                         "reference's top_p=0.01 sampling, which is ≈greedy)")
     p.add_argument("--max_new_tokens", type=int, default=90)
+    p.add_argument("--engine", action="store_true",
+                   help="drive the eval through the continuous-batching "
+                        "serving engine (slots=--bs, block KV layout) "
+                        "instead of fixed batches — same jsonl rows; "
+                        "greedy decode (the engine is greedy-only; the "
+                        "default top_p=0.01 is ~greedy and routed the "
+                        "same way Myriad.generate routes it)")
+    p.add_argument("--engine-segment", type=int, default=32,
+                   help="engine decode steps per compiled tick")
+    p.add_argument("--engine-block", type=int, default=8,
+                   help="engine block KV layout size (0 = per-row)")
     p.add_argument("--bench", action="store_true",
                    help="print a JSON throughput line (images/sec, excluding "
                         "the first compile batch) after the run")
@@ -144,6 +155,101 @@ def device_mem_mb() -> float:
         return 0.0
 
 
+def run_engine_eval(args, model, dataloader, save_path):
+    """Drive the eval through the continuous-batching serving engine
+    (serving/myriad_adapter.py): every test image becomes a request, the
+    engine keeps --bs slots busy across admission waves, and rows are
+    written as requests finish.  Same jsonl schema as the fixed-batch
+    loop; greedy transcripts are engine-exact w.r.t. Myriad.generate
+    (tests/test_serving_myriad.py).  With llm_spec_k set on the model the
+    engine verifies drafts per weight pass (per-row frontiers); otherwise
+    the block KV layout keeps cache writes in place."""
+    from myriad_tpu.serving.myriad_adapter import MyriadServing
+
+    spec_k = model.spec_k
+    block = 0 if spec_k else args.engine_block
+    if block and args.bs % block:
+        block = 0
+    serving = MyriadServing(
+        model, slots=args.bs, segment=args.engine_segment,
+        max_new_tokens=args.max_new_tokens, admit_widths=(64, 160, 320),
+        spec_k=spec_k, block_size=block)
+
+    meta = {}
+    t0 = time.time()
+    n_submitted = 0
+    for samples in dataloader:
+        bs = len(samples["image_id"])
+        rows = []
+        for i in range(bs):
+            row = {"image": np.asarray(samples["image"])[i:i + 1]}
+            for k in ("scene", "question", "question2", "question3",
+                      "img_path"):
+                if k in samples:
+                    v = samples[k][i]
+                    row[k] = [v]
+            rows.append(row)
+        rids = serving.submit_batch(rows, lazy=True)
+        for i, rid in enumerate(rids):
+            meta[rid] = {
+                "image_id": int(samples["image_id"][i]),
+                "image_path": "/".join(samples["img_path"][i].split("/")[-5:]),
+                "is_anomaly": bool(samples["is_anomaly"][i]),
+            }
+        n_submitted += bs
+    print(f"engine eval: {n_submitted} requests over {args.bs} slots "
+          f"(segment {args.engine_segment}, block {block}, spec {spec_k})")
+
+    completions = []
+    with open(save_path, "w") as writer:
+        while serving.pending:
+            for r in serving.step():
+                m = meta.pop(r["request_id"])
+                text = r["text"].split("###")[0]
+                ok = (("Yes" in text and m["is_anomaly"])
+                      or ("No" in text and not m["is_anomaly"]))
+                item = {
+                    "image_id": m["image_id"],
+                    "image_path": m["image_path"],
+                    "is_anomaly": m["is_anomaly"],
+                    "output": text,
+                    "error": "0" if ok else "1",
+                }
+                if "anomaly_score" in r:
+                    item["anomaly_score"] = str(round(r["anomaly_score"], 4))
+                writer.write(json.dumps(item) + "\n")
+                completions.append(time.time())
+
+    print("Device Memory:", device_mem_mb())
+    stats = serving.stats
+    print("Mean Time: ", (time.time() - t0) / max(stats["ticks"], 1))
+    if args.bench and len(completions) > args.bs:
+        # steady state: exclude everything up to the first finisher (the
+        # compile-paying wave), same warmup protocol as the batch path
+        secs = completions[-1] - completions[0]
+        imgs = len(completions) - 1
+        line = {
+            "metric": "images/sec (AQA eval harness, serving engine, "
+                      f"{args.max_new_tokens}-token decode"
+                      + (f", spec K={spec_k}" if spec_k else "")
+                      + (f", block {block}" if block else "") + ")",
+            "value": round(imgs / max(secs, 1e-9), 4),
+            "unit": "images/sec",
+            "requests": len(completions),
+            "slots": args.bs,
+            "ticks": stats["ticks"],
+            "decode_steps": stats["decode_steps"],
+            "slot_occupancy": round(
+                stats["live_row_steps"]
+                / max(stats["decode_steps"] * args.bs, 1), 3),
+            "compile_to_first_s": round(completions[0] - t0, 2),
+        }
+        if stats["spec_drafted"]:
+            line["spec_acceptance"] = round(
+                stats["spec_accepted"] / stats["spec_drafted"], 4)
+        print(json.dumps(line))
+
+
 def main():
     args = parse_args()
     cfg = Config(args)
@@ -184,6 +290,10 @@ def main():
     )
     save_path = args.save_path or os.path.join(".", f"{prefix}.jsonl")
     print(f"Results will be saved to {save_path}")
+
+    if args.engine:
+        run_engine_eval(args, model, dataloader, save_path)
+        return
 
     generate_kwargs = {
         "max_new_tokens": args.max_new_tokens,

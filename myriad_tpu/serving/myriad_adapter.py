@@ -79,6 +79,14 @@ class MyriadServing:
             block_size=block_size)
         self._embed_progs: Dict[tuple, callable] = {}
         self._meta: Dict[int, Dict] = {}
+        # per-group VE anomaly scores (max of the zero-/one-shot map, the
+        # jsonl `anomaly_score` field): kept DEVICE-side at submit so the
+        # score reduction never syncs the embed forward (dispatch-side
+        # submission, engine._PendingBatch rationale); materialized to
+        # host lazily at first render of the group — by then the group's
+        # compute long finished, so the copy is a tiny (n,) transfer
+        self._group_scores: Dict[int, object] = {}
+        self._next_gid = 0
         # lazy-submission host queue: stacked sample groups waiting to be
         # embedded (see submit_batch(lazy=True)).  Entries are
         # (stacked_samples, promised_request_ids).
@@ -226,8 +234,15 @@ class MyriadServing:
         # the host (engine._PendingBatch rationale)
         rids = self.engine.submit_group(embeds, meta["t"], hold=hold,
                                         request_ids=request_ids)
-        for rid, scene in zip(rids, scenes):
-            self._meta[rid] = {"scene": scene, "question": question}
+        gid, self._next_gid = self._next_gid, self._next_gid + 1
+        # [scores, outstanding-render refcount] — dropped when every
+        # non-held request of the group rendered (long-running engines
+        # must not accumulate per-group score arrays)
+        self._group_scores[gid] = [
+            jnp.max(jnp.asarray(use_maps), axis=(1, 2, 3)), len(rids)]
+        for row, (rid, scene) in enumerate(zip(rids, scenes)):
+            self._meta[rid] = {"scene": scene, "question": question,
+                               "_score_ref": (gid, row)}
         return rids
 
     def submit_held(self, samples: Dict) -> int:
@@ -291,9 +306,20 @@ class MyriadServing:
     def _render(self, finished) -> Dict:
         text = self.myriad.llama_tokenizer.decode(finished.tokens.tolist())
         if finished.held:  # keep meta: continue_request inherits the scene
-            meta = self._meta.get(finished.request_id, {})
+            meta = dict(self._meta.get(finished.request_id, {}))
         else:
             meta = self._meta.pop(finished.request_id, {})
+        ref = meta.pop("_score_ref", None)
+        if ref is not None:
+            gid, row = ref
+            entry = self._group_scores[gid]
+            if not isinstance(entry[0], np.ndarray):  # first touch: one
+                entry[0] = np.asarray(entry[0])       # (n,) host copy
+            meta["anomaly_score"] = float(entry[0][row])
+            if not finished.held:
+                entry[1] -= 1
+                if entry[1] <= 0:
+                    del self._group_scores[gid]
         return dict(request_id=finished.request_id, text=text,
                     token_ids=finished.tokens, held=finished.held,
                     raw_tokens=finished.raw_tokens, **meta)

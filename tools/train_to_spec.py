@@ -111,7 +111,7 @@ run:
 # _trainable_predicate note).  The eval config must set it too so the
 # checkpoint's lm_head merges into the trainable tree (trainable-only
 # checkpoints, base.load_checkpoint).
-FULL_ARCH_TRAIN = """vit_precision: fp32
+FULL_ARCH_TRAIN = """param_policy: bf16
   llm_weight_dtype: int8
   train_llm_head: True
   use_grad_checkpoint: True"""
