@@ -124,8 +124,10 @@ def run_harness(args, profile: str, b: int):
                "--cfg-path", cfg_path, "--task_type", "1cls",
                "--split", "mvtec", "--bs", str(b),
                "--save_path", os.path.join(tmp, "results.jsonl"),
-               "--bench", "--greedy", "--max_new_tokens", str(max_new),
-               "--options"] + options
+               "--bench", "--greedy", "--max_new_tokens", str(max_new)]
+        if getattr(args, "engine", False):
+            cmd += ["--engine", "--engine-block", str(args.engine_block)]
+        cmd += ["--options"] + options
         print(f"[bench] harness: {' '.join(cmd)}", file=sys.stderr)
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -250,6 +252,13 @@ def main():
                         "acceptance curve between the n-gram floor and the "
                         "oracle bound (transcripts stay exact by "
                         "construction)")
+    p.add_argument("--engine", action="store_true",
+                   help="run the harness through the continuous-batching "
+                        "serving engine (evaluation_aqa_dataset.py "
+                        "--engine: slots=batch, block KV layout) instead "
+                        "of fixed batches")
+    p.add_argument("--engine-block", type=int, default=8,
+                   help="engine block KV layout size (0 = per-row)")
     p.add_argument("--harness", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="additionally run the SHIPPING eval harness "

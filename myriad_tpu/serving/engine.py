@@ -600,10 +600,13 @@ class ServingEngine:
 
                 # each row's write column = its block's storage frontier;
                 # mark it attended for active rows BEFORE the forward
-                # (write-then-attend: the fresh K/V must see itself)
+                # (write-then-attend: the fresh K/V must see itself).
+                # One-hot OR, not a scatter: TPU serializes 48-row
+                # scatters, a (B, T) compare is one vector op
                 col = jnp.repeat(st["store"], Bg)
-                bitmap = st["bitmap"].at[
-                    jnp.arange(self.slots), col].max(active)
+                hot = (jnp.arange(st["bitmap"].shape[1],
+                                  dtype=jnp.int32)[None, :] == col[:, None])
+                bitmap = st["bitmap"] | (hot & active[:, None])
                 embeds = model.apply(params, st["last"][:, None],
                                      method=LlamaForCausalLM.embed)
                 cache = tuple(dict(c, index=st["store"])

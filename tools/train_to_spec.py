@@ -113,6 +113,9 @@ run:
 # checkpoints, base.load_checkpoint).
 FULL_ARCH_TRAIN = """param_policy: bf16
   llm_weight_dtype: int8
+  vit_weight_dtype: int8
+  ve_weight_dtype: int8
+  qformer_weight_dtype: int8
   train_llm_head: True
   use_grad_checkpoint: True"""
 FULL_ARCH_EVAL = """llm_weight_dtype: int8
