@@ -100,6 +100,30 @@ def _int8_matmul_padded(x, w8, scale, interpret, out_dtype_name, tm, tf):
     )(x, w8, scale[None, :])
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6))
+def _int8_pallas_matmul(x2, w8, scale, interpret, out_dtype_name, tm, tf):
+    """Differentiable wrapper over the Pallas dequant-dot kernel: like
+    ``_w8a8_matmul``, the tangent treats the layer as the linear map
+    x @ dequant(w8) and gives w8/scale no gradient.  Without it, any
+    trainable upstream of an int8 tower that gradients must flow THROUGH
+    (the expert adaptor feeding the frozen int8 Q-Former in the stage-2
+    train step) dies with 'Linearization failed' — the kernel has no VJP
+    (measured, r4 full-profile train_to_spec)."""
+    return _int8_matmul_padded(x2, w8, scale, interpret, out_dtype_name, tm, tf)
+
+
+@_int8_pallas_matmul.defjvp
+def _int8_pallas_matmul_jvp(interpret, out_dtype_name, tm, tf, primals, tangents):
+    x2, w8, scale = primals
+    dx = tangents[0]
+    y = _int8_pallas_matmul(x2, w8, scale, interpret, out_dtype_name, tm, tf)
+    dy = (jax.lax.dot_general(
+        dx.astype(jnp.float32), w8.astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale.astype(jnp.float32)[None, :]).astype(y.dtype)
+    return y, dy
+
+
 def int8_matmul(
     x: jnp.ndarray,
     w8: jnp.ndarray,
@@ -160,8 +184,8 @@ def int8_matmul(
     if d_pad != d or f_pad != f:
         w8 = jnp.pad(w8, [(0, d_pad - d), (0, f_pad - f)])
         scale = jnp.pad(scale, [(0, f_pad - f)])
-    y = _int8_matmul_padded(x2, w8, scale, bool(interpret), jnp.dtype(out_dtype).name,
-                            tm, tf)
+    y = _int8_pallas_matmul(x2, w8, scale, bool(interpret),
+                            jnp.dtype(out_dtype).name, tm, tf)
     return y[:m, :f].reshape(*lead, f)
 
 

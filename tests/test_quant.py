@@ -89,6 +89,27 @@ def test_w8a8_gradient_flows_through(rng):
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-2)
 
 
+def test_pallas_int8_gradient_flows_through(rng):
+    """The Pallas dequant-dot path (decode/tiny-M shapes) needs the same
+    straight-through derivative as the W8A8 path: the stage-2 train step
+    backprops THROUGH the frozen int8 Q-Former into the expert adaptor,
+    and pallas_call has no VJP of its own (r4 full-profile train OOM hunt
+    surfaced 'Linearization failed' here)."""
+    x = jnp.asarray(rng.normal(size=(8, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(96, 72)), jnp.float32)
+    w8, scale = quantize_per_channel(w)
+
+    def loss(x):
+        return int8_matmul(x, w8, scale, use_pallas=True).sum()
+
+    g = jax.grad(loss)(x)
+    ref = jax.grad(
+        lambda x: int8_matmul(x, w8, scale, use_pallas=False).sum())(x)
+    assert float(jnp.abs(g).max()) > 0
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_int8_llama_gradients_nonzero(rng):
     """End-to-end: input gradients through a frozen int8 tiny LLaMA are
     nonzero and directionally match the fp32 model's."""
