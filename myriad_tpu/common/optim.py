@@ -108,12 +108,18 @@ def make_optimizer(
     beta2: float = 0.999,
     max_grad_norm: Optional[float] = None,
     accum_grad_iters: int = 1,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """AdamW over the *trainable* subtree with decay-mask + optional accum.
 
     The trainable/frozen split itself happens upstream: the runner passes
     only the trainable param subtree here, mirroring the reference's
     requires_grad filtering (runner_base.py:110-115).
+
+    ``mu_dtype`` ('bfloat16' to halve the first-moment buffers): the HBM
+    knob that buys back the +131M-param lm_head readout's optimizer state
+    on one chip (run cfg ``optimizer_mu_dtype``).  Second moments stay
+    fp32 (they span orders of magnitude; bf16 m is standard practice).
     """
     chain = []
     if max_grad_norm is not None:
@@ -125,6 +131,7 @@ def make_optimizer(
             b2=beta2,
             weight_decay=weight_decay,
             mask=_decay_mask,
+            mu_dtype=mu_dtype,
         )
     )
     tx = optax.chain(*chain)

@@ -152,6 +152,7 @@ class RunnerBase:
                 beta2=float(self.run_cfg.get("beta2", 0.999)),
                 max_grad_norm=self.run_cfg.get("max_grad_norm"),
                 accum_grad_iters=self.accum_grad_iters,
+                mu_dtype=self.run_cfg.get("optimizer_mu_dtype"),
             )
         return self._tx
 
