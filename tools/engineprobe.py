@@ -59,6 +59,13 @@ def main():
                         "writes, no per-row pool rewrite).  Default: 8 "
                         "for greedy burst/trickle, 0 (per-row) for "
                         "spec/chat which need per-row frontiers")
+    p.add_argument("--ckpt", type=str, default="",
+                   help="trained trainable-subtree checkpoint (e.g. the "
+                        "tools/train_to_spec.py output) merged into the "
+                        "model before serving — with --spec this measures "
+                        "REAL draft acceptance instead of the random-weight "
+                        "~0 floor.  Builds with use_lora + train_llm_head "
+                        "to match the t2s trainable split")
     p.add_argument("--quant", type=str, default="int8",
                    choices=["none", "int8"])
     p.add_argument("--kv", type=str, default="int8", choices=["bf16", "int8"])
@@ -105,7 +112,11 @@ def main():
     t0 = time.time()
     model = Myriad(arch=arch, use_ve=True,
                    policy=Policy.fp32() if args.dry_run else Policy.bf16_params(),
-                   max_txt_len=160, end_sym="###", seed=0)
+                   max_txt_len=160, end_sym="###", seed=0,
+                   use_lora=bool(args.ckpt), train_llm_head=bool(args.ckpt))
+    if args.ckpt:
+        model.load_checkpoint(args.ckpt)
+        print(f"[engineprobe] loaded ckpt {args.ckpt}", file=sys.stderr)
     ve = model.vision_expert
     ve.class_names = ["bottle"]
     ve.class_index = {"bottle": 0}

@@ -66,6 +66,9 @@ datasets:
 run:
   task: image_text_pretrain
   device: {device}
+  # bf16 first moments: the HBM knob for the 246M-trainable echo-state
+  # profile (lm_head readout) — fp32 mu OOM'd the d32 int8 step at batch 4
+  optimizer_mu_dtype: bfloat16
   lr_sched: "linear_warmup_cosine_lr"
   init_lr: {lr}
   min_lr: 0
@@ -203,7 +206,10 @@ def main():
         with open(train_cfg, "w") as f:
             f.write(TRAIN_YAML.format(
                 arch_lines=TINY_ARCH if tiny else FULL_ARCH_TRAIN,
-                max_txt_len=64 if tiny else 160, img_size=img_size,
+                # train-time 96: the templated answers are <40 tokens and
+                # the CE-logits + activation buffers scale with it (eval
+                # keeps 160 — the serving profile)
+                max_txt_len=64 if tiny else 96, img_size=img_size,
                 data_root=data_root, device=device, lr=lr, epochs=epochs,
                 iters=iters, batch=batch, out_dir=out_dir,
                 warmup=min(50, iters // 2)))
