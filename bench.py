@@ -150,6 +150,13 @@ def run_harness(args, profile: str, b: int):
                 f"model.llm_cache_granularity={args.cache_granularity}",
             ]
         ckpt, ckpt_spec = resolve_bench_ckpt(args)
+        if ckpt and getattr(args, "engine", False):
+            # the engine-backed harness runs the block KV layout, which is
+            # greedy-only (per-row spec frontiers) — keep this run a clean
+            # greedy control rather than mixing in the spec checkpoint
+            print("[bench] --engine: ignoring armed ckpt (block layout is "
+                  "greedy-only)", file=sys.stderr)
+            ckpt = ""
         if ckpt and not tiny:
             # real-acceptance speculative serving (VERDICT r3 next #2): the
             # trained echo-state readout emits the templated answers, so

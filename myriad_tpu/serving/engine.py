@@ -275,12 +275,24 @@ class ServingEngine:
         # (dispatch-side attribution is what production sees).
         self.profile_sync = False
 
-        self._state = self._init_state()
         self._prefill_progs: Dict[int, callable] = {}
         self._cont_progs: Dict[int, callable] = {}
         self._insert_prog = None
         self._segment_prog = None
         self._slot_want_hold: List[bool] = [False] * self.slots
+        # block-layout state formats (see _coordinate_state_layouts): the
+        # segment program is compiled FIRST — against an ABSTRACT state —
+        # so admission emits the pool in the layout the segment wants and
+        # the zeros materialize directly in that layout (a relayout of an
+        # already-materialized pool would hold 2x 5.2G next to the 8.4G
+        # params — runtime OOM).  Block mode pays its big compile here
+        # instead of at the first tick.
+        self._state_formats = None
+        self._params_formats = None
+        if self.block_size and self._layout_coordination():
+            self._segment_prog = self._make_segment_block()
+        else:
+            self._state = self._init_state()
 
     # ---------------------------------------------------------------- state
     def _init_state(self):
@@ -364,7 +376,6 @@ class ServingEngine:
         buf_width = max_new + self.spec_k + 1
         bucket = self.bucket
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def insert(state, mini, slots, last0, valid, blocks=None):
             def put_rows(big, small):
                 # scatter the n mini rows into their slots; trailing dims of
@@ -405,7 +416,15 @@ class ServingEngine:
                 out["bitmap"] = state["bitmap"].at[slots].set(rows)
             return out
 
-        return insert
+        if self._state_formats is not None:
+            # block mode: graft into — and emit — the segment's chosen
+            # pool layout (_coordinate_state_layouts), so the pool never
+            # relayouts between admission and decode (the scatter itself
+            # is layout-tolerant: 0.008G temps measured at full depth)
+            return jax.jit(insert, donate_argnums=(0,),
+                           in_shardings=(self._state_formats,) + (None,) * 5,
+                           out_shardings=self._state_formats)
+        return jax.jit(insert, donate_argnums=(0,))
 
     def _continue_prog(self, width: int, m: int):
         """(params, state, delta (m,width,D), slots (m,), valid (m,), rng)
@@ -422,12 +441,18 @@ class ServingEngine:
         overwriting a near-capacity row's own history tail (review r3c
         finding; the 2-row gather/scatter copy is the price of safety and
         also skips the wasted co-resident FLOPs)."""
+        if self.block_size:
+            # held-slot turns re-arm rows at PER-ROW frontiers and the
+            # cont program carries no store/bitmap — multi-turn serving
+            # keeps the per-row layout (block_size=0), like spec
+            raise ValueError(
+                "continue_request needs per-row KV frontiers — construct "
+                "the engine with block_size=0 for multi-turn serving")
         key = (width, m)
         if key in self._cont_progs:
             return self._cont_progs[key]
         model, cfg = self.model, self.cfg
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
         def cont(params, state, delta, slots, valid, rng):
             mini = tuple({k: c[k][slots] for k in c} for c in state["cache"])
             li = jnp.clip(valid - 1, 0, width - 1)
@@ -457,8 +482,8 @@ class ServingEngine:
                 rng=state["rng"],
             )
 
-        self._cont_progs[key] = cont
-        return cont
+        self._cont_progs[key] = jax.jit(cont, donate_argnums=(1,))
+        return self._cont_progs[key]
 
     def _process_continuations(self) -> None:
         """Run queued turn deltas, batched per admission width in
@@ -567,6 +592,50 @@ class ServingEngine:
 
         return run
 
+    def _layout_coordination(self) -> bool:
+        """Block mode on real TPU coordinates the KV pool's device layout
+        across programs (escape hatch: MYRIAD_ENGINE_LAYOUT=0).  On CPU
+        (tests / the virtual mesh) layouts are degenerate and the default
+        path stays."""
+        import os
+
+        return (jax.devices()[0].platform == "tpu"
+                and os.environ.get("MYRIAD_ENGINE_LAYOUT", "1") != "0")
+
+    def _coordinate_state_layouts(self, run):
+        """Compile the block segment with AUTO state layouts and relayout
+        the resident state into the compiler's choice.
+
+        Without this, the 48-slot block segment OOMs at COMPILE
+        (16.71G/15.75G): XLA's layout assignment wants the KV pool
+        T-major (major_to_minor (2,0,1,3) — each time column a contiguous
+        (B,H,D) slab, which is what the per-block scalar-start
+        dynamic_update_slice writes and the decode matvec reads), while
+        the pool arrives in the default row-major layout the admission
+        programs produced — so the program prepends a 78M layout copy per
+        K/V buffer, 64 x 78M ~= 5G of HLO temps (measured, r4; with AUTO
+        formats the same compile is 0.06G of temps).  The chosen formats
+        are remembered so _make_insert/_continue_prog emit the SAME
+        layout (measured clean there too: insert 0.008G temps) and the
+        pool never round-trips through a relayout at steady state."""
+        from jax.experimental.layout import Format, Layout
+
+        auto = Format(Layout.AUTO)
+        self._params_formats = jax.tree_util.tree_map(
+            lambda x: getattr(x, "format", None), self.params)
+        jfn = jax.jit(run, donate_argnums=(1,),
+                      in_shardings=(self._params_formats, auto),
+                      out_shardings=auto)
+        state_struct = jax.eval_shape(self._init_state)
+        compiled = jfn.lower(self.params, state_struct).compile()
+        self._state_formats = compiled.input_formats[0][1]
+        # materialize the (zero) state straight into the chosen layouts —
+        # never holds a second copy of the pool
+        self._state = jax.jit(
+            lambda: self._init_state(),
+            out_shardings=self._state_formats)()
+        return jfn
+
     def _make_segment_block(self):
         """Block-layout greedy segment (``block_size`` note in __init__).
 
@@ -583,7 +652,6 @@ class ServingEngine:
         max_new, steps = self.cfg.max_new_tokens, self.segment
         G, Bg = self.n_blocks, self.block_size
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
         def run(params, state):
             def cond(st):
                 return jnp.logical_and(st["step"] < steps,
@@ -645,7 +713,9 @@ class ServingEngine:
             live = st.pop("live")
             return st, nsteps, live, jnp.int32(0), jnp.int32(0)
 
-        return run
+        if self._layout_coordination():
+            return self._coordinate_state_layouts(run)
+        return jax.jit(run, donate_argnums=(1,))
 
     def _make_segment_spec(self):
         """Speculative segment: each round verifies ``spec_k`` n-gram drafts

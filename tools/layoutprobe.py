@@ -59,9 +59,7 @@ def main():
     model = LlamaForCausalLM(cfg, jnp.bfloat16, jnp.bfloat16)
 
     # abstract params: eval_shape over init (no 7B materialization)
-    dummy = jnp.zeros((1, 8), jnp.int32)
-    params = jax.eval_shape(
-        lambda r: model.init(r, dummy), jax.random.PRNGKey(0))
+    params = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
 
     gen = GenerationConfig(max_new_tokens=args.max_new, eos_token_id=-1,
                            stop_single=-1, stop_pair=(-1, -1))

@@ -31,9 +31,12 @@ run trickle_block8 - python tools/engineprobe.py --mode trickle --arrive 16 \
   --requests 192 --slots 48 --segment 32 --block 8
 # 4. shipping harness at the headline profile: the --bench line now
 #    carries per-phase means (collate/dispatch/wait/hflush) — the
-#    VERDICT r3 #4 gap decomposition at b48
-run harness_b48 - python bench.py
+#    VERDICT r3 #4 gap decomposition at b48.  --ckpt none: these are the
+#    GREEDY controls; an armed .runs/bench_ckpt.json must not turn them
+#    into spec runs
+run harness_b48 - python bench.py --ckpt none
 # 5. the engine-backed harness at the same profile: if it beats the
-#    fixed-batch number, it becomes the shipping eval path
-run harness_engine_b48 - python bench.py --engine
+#    fixed-batch number, it becomes the shipping eval path (greedy-only:
+#    the block layout refuses spec per-row frontiers)
+run harness_engine_b48 - python bench.py --engine --ckpt none
 echo "=== sweep_r4d done ===" | tee -a "$OUT/summary.log"
