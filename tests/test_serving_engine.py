@@ -461,3 +461,5 @@ def test_block_layout_validation(tiny):
     with pytest.raises(ValueError):  # capacity charged at PADDED width:
         eng.submit(np.zeros((9, dim), np.float32))  # 9 -> 16, +10+1 > 24
     assert eng.submit(np.zeros((8, dim), np.float32)) is not None  # 8+11<=24
+    with pytest.raises(ValueError):  # backstop behind the submit guard:
+        eng._continue_prog(8, 1)     # cont drops store/bitmap in block mode
