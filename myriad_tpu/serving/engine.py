@@ -634,7 +634,10 @@ class ServingEngine:
         self._state = jax.jit(
             lambda: self._init_state(),
             out_shardings=self._state_formats)()
-        return jfn
+        # an AUTO-layout jit cannot be CALLED with concrete arrays — run
+        # the AOT executable itself (state stays in its formats, so every
+        # call matches exactly; donation is baked in from donate_argnums)
+        return compiled
 
     def _make_segment_block(self):
         """Block-layout greedy segment (``block_size`` note in __init__).

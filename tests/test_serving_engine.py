@@ -463,3 +463,36 @@ def test_block_layout_validation(tiny):
     assert eng.submit(np.zeros((8, dim), np.float32)) is not None  # 8+11<=24
     with pytest.raises(ValueError):  # backstop behind the submit guard:
         eng._continue_prog(8, 1)     # cont drops store/bitmap in block mode
+
+
+def test_block_layout_coordinated_formats(tiny, monkeypatch):
+    """The TPU-gated layout coordination (_coordinate_state_layouts),
+    forced on for CPU: the AUTO-layout discovery compile, the AOT
+    executable as the segment program, the state materialized via
+    out_shardings, and the format-pinned insert program must all stay
+    transcript-invisible.  Regression for the r4 call-time failure: a jit
+    carrying AUTO in_shardings cannot be CALLED with concrete arrays, so
+    the segment must run the compiled executable itself."""
+    monkeypatch.setattr(ServingEngine, "_layout_coordination",
+                        lambda self: True)
+    model, params = tiny
+    rng = np.random.default_rng(23)
+    dim = model.config.hidden_size
+    prompts = _prompts(rng, [13, 5, 9, 3, 11, 7], dim)
+    eng = ServingEngine(model, params, slots=4, bucket=64, config=CFG,
+                        cache_dtype="int8", segment=4, admit_widths=(16,),
+                        block_size=2)
+    assert eng._state_formats is not None  # the coordination actually ran
+    results = {}
+    for i, p in enumerate(prompts):
+        eng.submit(p, request_id=i)
+    tick = 0
+    while eng.pending:
+        for f in eng.step():
+            results[f.request_id] = f.tokens
+        tick += 1
+        assert tick < 100
+    assert sorted(results) == list(range(len(prompts)))
+    for i, p in enumerate(prompts):
+        ref = _reference(model, params, p, CFG, "int8")
+        np.testing.assert_array_equal(results[i], ref, err_msg=f"request {i}")
