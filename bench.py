@@ -69,27 +69,33 @@ def resolve_bench_ckpt(args):
     written only after the train->spec loop VALIDATED the checkpoint on
     TPU (tools/train_to_spec.py / r4 queue) — the driver's plain
     `python bench.py` picks it up, a fresh clone without it is unchanged.
-    Returns (path_or_empty, spec_k)."""
+    Returns (path_or_empty, spec_k, harness_batch_or_None,
+    harness_chunks_or_None) — the marker may pin the batch/prefill-chunk
+    profile the checkpoint was validated at (the spec optimum differs
+    from the greedy one: b24 vs b48, BENCH_NOTES)."""
     ckpt = getattr(args, "ckpt", "none") or "none"
     spec = getattr(args, "harness_spec", 3)
+    hb = hc = None
     if ckpt == "auto":
         marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".runs", "bench_ckpt.json")
         if not os.path.exists(marker):
-            return "", spec
+            return "", spec, hb, hc
         try:
             rec = json.load(open(marker))
             ckpt, spec = rec["ckpt"], int(rec.get("spec", spec))
+            hb = int(rec["batch"]) if "batch" in rec else None
+            hc = int(rec["prefill_chunks"]) if "prefill_chunks" in rec else None
         except (ValueError, KeyError) as e:
             print(f"[bench] bad bench_ckpt.json ({e}); ignoring",
                   file=sys.stderr)
-            return "", spec
+            return "", spec, None, None
     if ckpt == "none":
-        return "", spec
+        return "", spec, hb, hc
     if not os.path.exists(ckpt):
         print(f"[bench] ckpt {ckpt} missing; running without", file=sys.stderr)
-        return "", spec
-    return ckpt, spec
+        return "", spec, hb, hc
+    return ckpt, spec, hb, hc
 
 
 def run_harness(args, profile: str, b: int):
@@ -111,6 +117,24 @@ def run_harness(args, profile: str, b: int):
     from fixtures import make_ad_dataset
 
     tiny = profile == "tiny"
+    ckpt, ckpt_spec, ckpt_b, ckpt_chunks = resolve_bench_ckpt(args)
+    if ckpt and getattr(args, "engine", False):
+        # the engine-backed harness runs the block KV layout, which is
+        # greedy-only (per-row spec frontiers) — keep this run a clean
+        # greedy control rather than mixing in the spec checkpoint
+        print("[bench] --engine: ignoring armed ckpt (block layout is "
+              "greedy-only)", file=sys.stderr)
+        ckpt = ""
+    chunks = args.prefill_chunks
+    if ckpt and not tiny:
+        # the armed spec run measures at the profile the checkpoint was
+        # VALIDATED at (spec optimum b24/3-chunk, BENCH_NOTES — not the
+        # greedy-optimal b48/9 this bench defaults to), unless the user
+        # pinned --batch / --prefill-chunks explicitly
+        if not getattr(args, "_user_batch", True):
+            b = ckpt_b or 24
+        if not getattr(args, "_user_chunks", True):
+            chunks = ckpt_chunks or 3
     with tempfile.TemporaryDirectory(prefix="bench_harness_") as tmp:
         data_root = os.path.join(tmp, "data")
         # >= 7 steady-state batches after the compile batch (the harness
@@ -145,18 +169,10 @@ def run_harness(args, profile: str, b: int):
                 if args.qformer_quant:
                     options.append("model.qformer_weight_dtype=int8")
             options += [
-                f"model.llm_prefill_chunks={args.prefill_chunks}",
+                f"model.llm_prefill_chunks={chunks}",
                 f"model.llm_staged_decode={bool(args.staged_decode)}",
                 f"model.llm_cache_granularity={args.cache_granularity}",
             ]
-        ckpt, ckpt_spec = resolve_bench_ckpt(args)
-        if ckpt and getattr(args, "engine", False):
-            # the engine-backed harness runs the block KV layout, which is
-            # greedy-only (per-row spec frontiers) — keep this run a clean
-            # greedy control rather than mixing in the spec checkpoint
-            print("[bench] --engine: ignoring armed ckpt (block layout is "
-                  "greedy-only)", file=sys.stderr)
-            ckpt = ""
         if ckpt and not tiny:
             # real-acceptance speculative serving (VERDICT r3 next #2): the
             # trained echo-state readout emits the templated answers, so
@@ -186,7 +202,10 @@ def run_harness(args, profile: str, b: int):
             return None
         for line in reversed(proc.stdout.splitlines()):
             if line.startswith("{") and "images/sec" in line:
-                return json.loads(line)
+                rec = json.loads(line)
+                rec["harness_batch"] = b
+                rec["harness_chunks"] = chunks
+                return rec
         print("[bench] harness emitted no bench line", file=sys.stderr)
         return None
 
@@ -246,7 +265,7 @@ def main():
     p.add_argument("--mode", type=str, default="eval", choices=["eval", "train"],
                    help="eval: AQA decode step (default); train: stage-2 "
                         "LoRA finetune step samples/sec (BASELINE config 4)")
-    p.add_argument("--prefill-chunks", type=int, default=9, metavar="N",
+    p.add_argument("--prefill-chunks", type=int, default=None, metavar="N",
                    help="split the prefill into N sequential chunks "
                         "(token-exact): per-chunk activation temps shrink "
                         "~N-fold — the batch-28/32 enabler (memprobe "
@@ -327,6 +346,14 @@ def main():
                         "on for the plain eval bench, off for special modes "
                         "(--spec/--pad-prefix/--breakdown/train)")
     args = p.parse_args()
+
+    # remember which profile knobs the user pinned BEFORE defaulting: an
+    # armed spec checkpoint (--ckpt auto) moves the harness to its own
+    # validated profile only when these were left at the defaults
+    args._user_batch = args.batch is not None
+    args._user_chunks = args.prefill_chunks is not None
+    if args.prefill_chunks is None:
+        args.prefill_chunks = 9
 
     if args.decode_attn:
         os.environ["MYRIAD_DECODE_ATTN"] = args.decode_attn
@@ -591,7 +618,8 @@ def main():
             })
             if "spec_acceptance" in h:
                 result["spec_acceptance"] = h["spec_acceptance"]
-            ckpt, ckpt_spec = resolve_bench_ckpt(args)
+            result["harness_batch"] = h.get("harness_batch")
+            ckpt, ckpt_spec, _, _ = resolve_bench_ckpt(args)
             if ckpt:
                 result["harness_ckpt"] = ckpt
                 result["harness_spec_k"] = ckpt_spec
