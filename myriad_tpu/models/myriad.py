@@ -243,8 +243,10 @@ class MyriadModule(nn.Module):
         text_mask: jnp.ndarray,  # (B, L) 1/0
         stage: int,
         bos_id: int = 1,
+        add_bos: bool = True,
     ) -> jnp.ndarray:
-        prefix = self.prefill_embeds(image, maps, before_ids, after_ids, stage, bos_id)
+        prefix = self.prefill_embeds(image, maps, before_ids, after_ids, stage,
+                                     bos_id, add_bos=add_bos)
         b, p, _ = prefix.shape
         text_embeds = self.embed_tokens(text_ids)
         inputs_embeds = jnp.concatenate([prefix, text_embeds.astype(prefix.dtype)], axis=1)
@@ -300,6 +302,7 @@ class Myriad(BaseModel):
         staged_decode: bool = False,
         cache_granularity: int = 32,
         train_llm_head: bool = False,
+        train_add_bos: bool = True,
     ):
         self.arch = arch or MyriadArch.full()
         if use_lora:
@@ -328,6 +331,13 @@ class Myriad(BaseModel):
         # wrapped embeds straight to HF generate, myriad.py:445-451) though
         # training prepends one — False matches reference transcripts
         self.bos_at_generate = bool(bos_at_generate)
+        # training normally prepends bos (reference skew, myriad.py:414-420;
+        # True = parity).  False aligns the TRAIN forward with the bos-free
+        # serving numerics — required when the frozen body is the in-sandbox
+        # echo-state stand-in (train_llm_head): a pretrained Vicuna absorbs
+        # the missing-bos feature shift, a random 32-layer body amplifies it
+        # into garbage generations (measured, r4 train_to_spec)
+        self.train_add_bos = bool(train_add_bos)
         # chunked prefill (token-exact, generation._prefill): the batch-32
         # memory lever; 1 = single-shot
         self.prefill_chunks = int(prefill_chunks)
@@ -609,6 +619,7 @@ class Myriad(BaseModel):
         return self.module.apply(
             {"params": params}, arrays["image"], arrays["maps"], arrays["before"],
             arrays["after"], arrays["text_ids"], arrays["text_mask"], stage,
+            add_bos=self.train_add_bos,
             method=MyriadModule.forward_train,
         )
 
@@ -632,16 +643,19 @@ class Myriad(BaseModel):
 
     def loss_apply(self, trainable, frozen, image, maps, before, after,
                    text_ids, text_mask, stage: int):
-        key = ("loss", stage, image.shape, before.shape, after.shape, text_ids.shape)
+        key = ("loss", stage, image.shape, before.shape, after.shape,
+               text_ids.shape, self.train_add_bos)
         if key not in self._jit_cache:
             module = self.module
+            add_bos = self.train_add_bos
 
             @jax.jit
             def fn(trainable, frozen, image, maps, before, after, text_ids, text_mask):
                 params = ckpt_lib.overlay_trees(frozen, trainable)
                 return module.apply(
                     {"params": params}, image, maps, before, after,
-                    text_ids, text_mask, stage, method=MyriadModule.forward_train,
+                    text_ids, text_mask, stage, add_bos=add_bos,
+                    method=MyriadModule.forward_train,
                 )
 
             self._jit_cache[key] = fn
@@ -1106,6 +1120,9 @@ class Myriad(BaseModel):
             # (in-sandbox stand-in for a pretrained Vicuna — see
             # _trainable_predicate)
             train_llm_head=cfg.get("train_llm_head", False),
+            # False aligns training with the bos-free serving numerics
+            # (required for the echo-state stand-in; True = reference parity)
+            train_add_bos=cfg.get("train_add_bos", True),
         )
 
         # pretrained tower bootstrap: `weights: {vit, qformer, llama,

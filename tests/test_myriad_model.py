@@ -51,6 +51,23 @@ def test_trainable_partition(myriad_tiny):
     assert "visual_encoder" in full and "expert_adaptor" in full
 
 
+def test_forward_loss_train_add_bos(myriad_tiny):
+    """train_add_bos=False drops the bos embedding from the TRAIN forward
+    (aligning it with the bos-free serving numerics — the echo-state
+    regime, train_to_spec); default True mirrors the reference's
+    bos-prepending training path (myriad.py:414-420)."""
+    m = Myriad(
+        arch=MyriadArch.tiny(), use_ve=False, policy=Policy.fp32(),
+        max_txt_len=24, end_sym="###", train_add_bos=False,
+    )
+    s = _samples()
+    loss_nobos = float(m.forward(s, rng=np.random.default_rng(3))["loss"])
+    assert np.isfinite(loss_nobos) and loss_nobos > 0
+    # same weights (same seed), same stage draw: only the bos differs
+    loss_bos = float(myriad_tiny.forward(s, rng=np.random.default_rng(3))["loss"])
+    assert loss_nobos != loss_bos
+
+
 def test_forward_loss_all_stages(myriad_tiny):
     m = myriad_tiny
     s = _samples()

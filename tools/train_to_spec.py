@@ -176,6 +176,20 @@ def main():
                         "buckets (BENCH_NOTES: spec fits b24@1 / b32@3)")
     p.add_argument("--skip-train", action="store_true",
                    help="reuse the workdir's existing checkpoint")
+    p.add_argument("--train-no-bos", action="store_true",
+                   help="train WITHOUT the bos embedding (model.train_add_bos"
+                        "=False) so the TRAIN forward matches the bos-free "
+                        "serving numerics exactly — the echo-state readout "
+                        "over a random 32-layer body cannot absorb the "
+                        "missing-bos feature shift a pretrained Vicuna "
+                        "shrugs off (r4: bos-trained full-profile ckpt "
+                        "generated byte garbage, templated_frac 0.0)")
+    p.add_argument("--eval-bos", action="store_true",
+                   help="serve WITH a bos embedding (model.bos_at_generate="
+                        "True), aligning eval with the bos-trained forward "
+                        "instead — the cheap diagnostic direction (reuses "
+                        "the training checkpoint/compile; the serve path "
+                        "deviates from the reference's bos-free semantics)")
     args = p.parse_args()
 
     tiny = args.profile == "tiny"
@@ -200,12 +214,19 @@ def main():
                         img_size=img_size, seed=0)
 
     summary = {"metric": f"train_to_spec ({args.profile})", "unit": "mixed"}
+    if args.train_no_bos:
+        summary["train_add_bos"] = False
+    if args.eval_bos:
+        summary["eval_bos"] = True
 
     if not args.skip_train:
         train_cfg = os.path.join(args.workdir, "train.yaml")
+        train_arch = TINY_ARCH if tiny else FULL_ARCH_TRAIN
+        if args.train_no_bos:
+            train_arch += "\n  train_add_bos: False"
         with open(train_cfg, "w") as f:
             f.write(TRAIN_YAML.format(
-                arch_lines=TINY_ARCH if tiny else FULL_ARCH_TRAIN,
+                arch_lines=train_arch,
                 # train-time 96: the templated answers are <40 tokens and
                 # the CE-logits + activation buffers scale with it (eval
                 # keeps 160 — the serving profile)
@@ -236,10 +257,13 @@ def main():
     summary["ckpt"] = ckpt
 
     eval_cfg = os.path.join(args.workdir, "eval.yaml")
+    eval_arch = (TINY_ARCH if tiny
+                 else FULL_ARCH_EVAL.format(chunks=args.prefill_chunks))
+    if args.eval_bos:
+        eval_arch += "\n  bos_at_generate: True"
     with open(eval_cfg, "w") as f:
         f.write(EVAL_YAML.format(
-            arch_lines=(TINY_ARCH if tiny
-                        else FULL_ARCH_EVAL.format(chunks=args.prefill_chunks)),
+            arch_lines=eval_arch,
             max_txt_len=64 if tiny else 160, img_size=img_size, ckpt=ckpt,
             spec=args.spec, data_root=data_root, device=device))
     results = os.path.join(args.workdir, "results.jsonl")
