@@ -177,8 +177,14 @@ def run_harness(args, profile: str, b: int):
             # real-acceptance speculative serving (VERDICT r3 next #2): the
             # trained echo-state readout emits the templated answers, so
             # llm_spec_k's prompt-lookup drafts measure true acceptance
+            # param_policy must match the t2s TRAINING construction
+            # ('bf16': fp32 init draws) — the eval CLI otherwise defaults
+            # to bf16_params, whose bf16 init draws build a DIFFERENT
+            # random frozen body than the one the readout was trained on
+            # (chaotic 32-layer decorrelation -> byte garbage; r4 t2s bug)
             options += [f"model.ckpt={ckpt}", "model.use_lora=True",
                         "model.train_llm_head=True",
+                        "model.param_policy=bf16",
                         f"model.llm_spec_k={ckpt_spec}"]
         cmd = [sys.executable, os.path.join(root, "evaluation_aqa_dataset.py"),
                "--cfg-path", cfg_path, "--task_type", "1cls",

@@ -86,3 +86,17 @@ def test_armed_marker_minimal_fields(benchmod):
 def test_bad_marker_ignored(benchmod):
     ckpt, _, _, _ = _with_marker(benchmod, {"spec": "not-a-ckpt"})
     assert ckpt == ""
+
+
+def test_ckpt_paths_pin_train_param_policy():
+    """Every trained-checkpoint consumer must pin the TRAIN construction
+    policy ('bf16': fp32 init draws).  The eval CLI otherwise defaults to
+    bf16_params, whose bf16 init draws build a DIFFERENT random frozen
+    body than the readout was trained on — measured r4 failure mode:
+    templated_frac 0.0 / byte garbage despite train loss 0.92."""
+    bench_src = open(os.path.join(ROOT, "bench.py")).read()
+    assert '"model.param_policy=bf16"' in bench_src
+    t2s_src = open(os.path.join(ROOT, "tools", "train_to_spec.py")).read()
+    assert t2s_src.index('FULL_ARCH_EVAL = """param_policy: bf16') > 0
+    probe_src = open(os.path.join(ROOT, "tools", "engineprobe.py")).read()
+    assert "Policy.bf16() if args.ckpt" in probe_src

@@ -110,8 +110,13 @@ def main():
         args.segment = min(args.segment, 4)
 
     t0 = time.time()
-    model = Myriad(arch=arch, use_ve=True,
-                   policy=Policy.fp32() if args.dry_run else Policy.bf16_params(),
+    # with a trained checkpoint the construction must match train_to_spec's
+    # TRAIN policy ('bf16': fp32 init draws, frozen cast after) — bf16_params
+    # draws a different random frozen body and the echo-state readout
+    # generates garbage (r4 t2s bug, train_to_spec.FULL_ARCH_EVAL note)
+    policy = (Policy.fp32() if args.dry_run
+              else Policy.bf16() if args.ckpt else Policy.bf16_params())
+    model = Myriad(arch=arch, use_ve=True, policy=policy,
                    max_txt_len=160, end_sym="###", seed=0,
                    use_lora=bool(args.ckpt), train_llm_head=bool(args.ckpt))
     if args.ckpt:

@@ -121,7 +121,16 @@ FULL_ARCH_TRAIN = """param_policy: bf16
   qformer_weight_dtype: int8
   train_llm_head: True
   use_grad_checkpoint: True"""
-FULL_ARCH_EVAL = """llm_weight_dtype: int8
+# param_policy MUST match training's ('bf16': fp32 init draws, frozen
+# cast to bf16 after).  Without it the eval CLI defaults to 'bf16_params'
+# (evaluation_aqa_dataset.py:264), whose bf16 init DRAWS differ from
+# fp32-drawn-then-cast values — a *different random frozen body* whose
+# int8 codes diverge, so the trained echo-state readout sees decorrelated
+# layer-32 features and generates byte garbage (r4: templated_frac 0.0
+# with loss 0.92; tiny passed only because vit_precision: fp32 disables
+# that setdefault).
+FULL_ARCH_EVAL = """param_policy: bf16
+  llm_weight_dtype: int8
   llm_kv_dtype: int8
   vit_weight_dtype: int8
   ve_weight_dtype: int8
