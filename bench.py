@@ -370,8 +370,20 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     else:
         from myriad_tpu.common.dist import enable_compilation_cache
+        from myriad_tpu.common.tpu_lock import tpu_lock
 
         enable_compilation_cache()
+        # chip fence (VERDICT r4 weak #1): a background queue straddling the
+        # driver's bench window contaminated BENCH_r04 (11.11 vs 12.24 img/s,
+        # both jobs time-slicing one chip).  Serialize on the advisory
+        # lockfile; the harness subprocess inherits the hold via
+        # MYRIAD_TPU_LOCK_TOKEN.  ExitStack-free: main() returns through
+        # here only at process exit, so hold until then.
+        import atexit
+
+        lock_cm = tpu_lock("bench", max_hold_s=7200.0, wait_s=1800.0)
+        lock_cm.__enter__()
+        atexit.register(lock_cm.__exit__, None, None, None)
     profile = args.profile or ("tiny" if args.dry_run else "bench")
 
     import jax.numpy as jnp

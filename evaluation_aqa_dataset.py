@@ -256,6 +256,19 @@ def main():
     run = cfg.run_cfg if cfg.config.get("run") else {}
     dist.configure_platform(run.get("device"), run.get("host_devices"))
     setup_logger()
+    if run.get("device") != "cpu":
+        # TPU runs: reuse compiled programs across invocations (the driver's
+        # bench harness otherwise pays the full ~6-min serving compile every
+        # round) and serialize on the chip fence — re-entrant when we are
+        # bench.py's / train_to_spec's subprocess (inherited lock token).
+        import atexit
+
+        from myriad_tpu.common.tpu_lock import tpu_lock
+
+        dist.enable_compilation_cache()
+        _lock = tpu_lock("eval_aqa", max_hold_s=10800.0, wait_s=1800.0)
+        _lock.__enter__()
+        atexit.register(_lock.__exit__, None, None, None)
 
     model_config = cfg.model_cfg
     model_config.round_index = args.round_index

@@ -83,9 +83,15 @@ def main():
     if args.dry_run:
         jax.config.update("jax_platforms", "cpu")
     else:
+        import atexit
+
         from myriad_tpu.common.dist import enable_compilation_cache
+        from myriad_tpu.common.tpu_lock import tpu_lock
 
         enable_compilation_cache()
+        _lock = tpu_lock("engineprobe", max_hold_s=7200.0, wait_s=1800.0)
+        _lock.__enter__()
+        atexit.register(_lock.__exit__, None, None, None)
 
     from bench import build_profile
     from myriad_tpu.models.layers import Policy

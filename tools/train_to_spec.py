@@ -131,7 +131,7 @@ FULL_ARCH_TRAIN = """param_policy: bf16
 # that setdefault).
 FULL_ARCH_EVAL = """param_policy: bf16
   llm_weight_dtype: int8
-  llm_kv_dtype: int8
+  llm_kv_dtype: {kv}
   vit_weight_dtype: int8
   ve_weight_dtype: int8
   qformer_weight_dtype: int8
@@ -183,6 +183,13 @@ def main():
     p.add_argument("--prefill-chunks", type=int, default=3,
                    help="full profile eval: memory knob at real prompt "
                         "buckets (BENCH_NOTES: spec fits b24@1 / b32@3)")
+    p.add_argument("--eval-kv", choices=["int8", "bf16"], default="int8",
+                   help="full profile eval KV-cache dtype.  bf16 + "
+                        "--prefill-chunks 1 is the VERDICT r4 #2 "
+                        "diagnostic: the train forward never sees int8 KV "
+                        "or chunked prefill, and an echo-state readout "
+                        "over a random 32-layer body has ~zero noise "
+                        "margin for eval-only numeric skew")
     p.add_argument("--skip-train", action="store_true",
                    help="reuse the workdir's existing checkpoint")
     p.add_argument("--train-no-bos", action="store_true",
@@ -202,6 +209,17 @@ def main():
     args = p.parse_args()
 
     tiny = args.profile == "tiny"
+    if not tiny:
+        # hold the chip fence across BOTH subprocess CLIs (they re-enter
+        # via the inherited MYRIAD_TPU_LOCK_TOKEN) — the r4 contamination
+        # was exactly this driver straddling the judge's bench window
+        import atexit
+
+        from myriad_tpu.common.tpu_lock import tpu_lock
+
+        _lock = tpu_lock("train_to_spec", max_hold_s=18000.0, wait_s=3600.0)
+        _lock.__enter__()
+        atexit.register(_lock.__exit__, None, None, None)
     epochs = args.epochs or (3 if tiny else 2)
     iters = args.iters or (120 if tiny else 150)
     batch = args.batch or (8 if tiny else 8)
@@ -267,7 +285,11 @@ def main():
 
     eval_cfg = os.path.join(args.workdir, "eval.yaml")
     eval_arch = (TINY_ARCH if tiny
-                 else FULL_ARCH_EVAL.format(chunks=args.prefill_chunks))
+                 else FULL_ARCH_EVAL.format(chunks=args.prefill_chunks,
+                                            kv=args.eval_kv))
+    if args.eval_kv != "int8":
+        summary["eval_kv"] = args.eval_kv
+    summary["prefill_chunks"] = args.prefill_chunks
     if args.eval_bos:
         eval_arch += "\n  bos_at_generate: True"
     with open(eval_cfg, "w") as f:

@@ -52,6 +52,17 @@ def main():
     cfg = Config(args)
 
     dist.configure_platform(cfg.run_cfg.get("device"), cfg.run_cfg.get("host_devices"))
+    if cfg.run_cfg.get("device") != "cpu":
+        # chip fence (VERDICT r4 weak #1): training must never time-slice
+        # the one chip with a measurement; re-entrant under train_to_spec.
+        import atexit
+
+        from myriad_tpu.common.tpu_lock import tpu_lock
+
+        dist.enable_compilation_cache()
+        _lock = tpu_lock("train", max_hold_s=14400.0, wait_s=1800.0)
+        _lock.__enter__()
+        atexit.register(_lock.__exit__, None, None, None)
     dist.init_distributed_mode(cfg.run_cfg)
     setup_seeds(cfg)
     setup_logger()
