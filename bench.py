@@ -70,32 +70,35 @@ def resolve_bench_ckpt(args):
     TPU (tools/train_to_spec.py / r4 queue) — the driver's plain
     `python bench.py` picks it up, a fresh clone without it is unchanged.
     Returns (path_or_empty, spec_k, harness_batch_or_None,
-    harness_chunks_or_None) — the marker may pin the batch/prefill-chunk
-    profile the checkpoint was validated at (the spec optimum differs
-    from the greedy one: b24 vs b48, BENCH_NOTES)."""
+    harness_chunks_or_None, harness_kv_or_None) — the marker may pin the
+    batch/prefill-chunk/KV profile the checkpoint was validated at (the
+    spec optimum differs from the greedy one: b24 vs b48, BENCH_NOTES;
+    the KV dtype is pinned because int8-KV prefill skew decorrelates an
+    echo-state readout trained at bf16 numerics, r5 t2s diagnosis)."""
     ckpt = getattr(args, "ckpt", "none") or "none"
     spec = getattr(args, "harness_spec", 3)
-    hb = hc = None
+    hb = hc = hkv = None
     if ckpt == "auto":
         marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".runs", "bench_ckpt.json")
         if not os.path.exists(marker):
-            return "", spec, hb, hc
+            return "", spec, hb, hc, hkv
         try:
             rec = json.load(open(marker))
             ckpt, spec = rec["ckpt"], int(rec.get("spec", spec))
             hb = int(rec["batch"]) if "batch" in rec else None
             hc = int(rec["prefill_chunks"]) if "prefill_chunks" in rec else None
+            hkv = rec.get("kv")
         except (ValueError, KeyError) as e:
             print(f"[bench] bad bench_ckpt.json ({e}); ignoring",
                   file=sys.stderr)
-            return "", spec, None, None
+            return "", spec, None, None, None
     if ckpt == "none":
-        return "", spec, hb, hc
+        return "", spec, hb, hc, hkv
     if not os.path.exists(ckpt):
         print(f"[bench] ckpt {ckpt} missing; running without", file=sys.stderr)
-        return "", spec, hb, hc
-    return ckpt, spec, hb, hc
+        return "", spec, hb, hc, hkv
+    return ckpt, spec, hb, hc, hkv
 
 
 def run_harness(args, profile: str, b: int):
@@ -117,7 +120,7 @@ def run_harness(args, profile: str, b: int):
     from fixtures import make_ad_dataset
 
     tiny = profile == "tiny"
-    ckpt, ckpt_spec, ckpt_b, ckpt_chunks = resolve_bench_ckpt(args)
+    ckpt, ckpt_spec, ckpt_b, ckpt_chunks, ckpt_kv = resolve_bench_ckpt(args)
     if ckpt and getattr(args, "engine", False):
         # the engine-backed harness runs the block KV layout, which is
         # greedy-only (per-row spec frontiers) — keep this run a clean
@@ -126,15 +129,19 @@ def run_harness(args, profile: str, b: int):
               "greedy-only)", file=sys.stderr)
         ckpt = ""
     chunks = args.prefill_chunks
+    kv = args.kv
     if ckpt and not tiny:
         # the armed spec run measures at the profile the checkpoint was
         # VALIDATED at (spec optimum b24/3-chunk, BENCH_NOTES — not the
-        # greedy-optimal b48/9 this bench defaults to), unless the user
-        # pinned --batch / --prefill-chunks explicitly
+        # greedy-optimal b48/9 this bench defaults to; KV dtype likewise:
+        # int8-KV prefill skew breaks an echo-state readout trained at
+        # bf16, r5 t2s diagnosis), unless the user pinned the knob
         if not getattr(args, "_user_batch", True):
             b = ckpt_b or 24
         if not getattr(args, "_user_chunks", True):
             chunks = ckpt_chunks or 3
+        if not getattr(args, "_user_kv", True) and ckpt_kv:
+            kv = ckpt_kv
     with tempfile.TemporaryDirectory(prefix="bench_harness_") as tmp:
         data_root = os.path.join(tmp, "data")
         # >= 7 steady-state batches after the compile batch (the harness
@@ -162,7 +169,7 @@ def run_harness(args, profile: str, b: int):
             max_new = DECODE_TOKENS
             if args.quant != "none":
                 options.append(f"model.llm_weight_dtype={args.quant}")
-            options.append(f"model.llm_kv_dtype={args.kv}")
+            options.append(f"model.llm_kv_dtype={kv}")
             if args.vit_quant:
                 options += ["model.vit_weight_dtype=int8",
                             "model.ve_weight_dtype=int8"]
@@ -358,6 +365,7 @@ def main():
     # validated profile only when these were left at the defaults
     args._user_batch = args.batch is not None
     args._user_chunks = args.prefill_chunks is not None
+    args._user_kv = "--kv" in sys.argv
     if args.prefill_chunks is None:
         args.prefill_chunks = 9
 
@@ -637,7 +645,7 @@ def main():
             if "spec_acceptance" in h:
                 result["spec_acceptance"] = h["spec_acceptance"]
             result["harness_batch"] = h.get("harness_batch")
-            ckpt, ckpt_spec, _, _ = resolve_bench_ckpt(args)
+            ckpt, ckpt_spec, _, _, _ = resolve_bench_ckpt(args)
             if ckpt:
                 result["harness_ckpt"] = ckpt
                 result["harness_spec_k"] = ckpt_spec

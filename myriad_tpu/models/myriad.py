@@ -233,6 +233,35 @@ class MyriadModule(nn.Module):
         return jnp.concatenate(pieces, axis=1)
 
     # -- training forward (myriad.py:377-431) --------------------------------
+    def train_logits(
+        self,
+        image: jnp.ndarray,
+        maps: jnp.ndarray,
+        before_ids: jnp.ndarray,
+        after_ids: jnp.ndarray,
+        text_ids: jnp.ndarray,  # (B, L) right-padded with pad_id
+        text_mask: jnp.ndarray,  # (B, L) 1/0
+        stage: int,
+        bos_id: int = 1,
+        add_bos: bool = True,
+    ) -> Tuple[jnp.ndarray, int]:
+        """(logits, prefix_len) of the TRAINING program — the no-cache
+        full-attention forward, exposed for train-vs-serve numeric
+        bisection (tools/t2sprobe.py): ``logits[:, p-1]`` is the training
+        program's first-answer-token distribution, the quantity the
+        serving prefill must reproduce for a trained echo-state readout
+        over a random frozen body to generate non-garbage."""
+        prefix = self.prefill_embeds(image, maps, before_ids, after_ids, stage,
+                                     bos_id, add_bos=add_bos)
+        b, p, _ = prefix.shape
+        text_embeds = self.embed_tokens(text_ids)
+        inputs_embeds = jnp.concatenate([prefix, text_embeds.astype(prefix.dtype)], axis=1)
+        attention_mask = jnp.concatenate(
+            [jnp.ones((b, p), jnp.int32), text_mask.astype(jnp.int32)], axis=1
+        )
+        logits, _ = self.llama(inputs_embeds, attention_mask)
+        return logits, p
+
     def forward_train(
         self,
         image: jnp.ndarray,
@@ -245,14 +274,10 @@ class MyriadModule(nn.Module):
         bos_id: int = 1,
         add_bos: bool = True,
     ) -> jnp.ndarray:
-        prefix = self.prefill_embeds(image, maps, before_ids, after_ids, stage,
-                                     bos_id, add_bos=add_bos)
-        b, p, _ = prefix.shape
-        text_embeds = self.embed_tokens(text_ids)
-        inputs_embeds = jnp.concatenate([prefix, text_embeds.astype(prefix.dtype)], axis=1)
-        attention_mask = jnp.concatenate(
-            [jnp.ones((b, p), jnp.int32), text_mask.astype(jnp.int32)], axis=1
-        )
+        logits, p = self.train_logits(image, maps, before_ids, after_ids,
+                                      text_ids, text_mask, stage, bos_id,
+                                      add_bos=add_bos)
+        b = image.shape[0]
         targets = jnp.concatenate(
             [
                 jnp.full((b, p), -100, jnp.int32),
@@ -260,7 +285,6 @@ class MyriadModule(nn.Module):
             ],
             axis=1,
         )
-        logits, _ = self.llama(inputs_embeds, attention_mask)
         return lm_cross_entropy(logits, targets)
 
 

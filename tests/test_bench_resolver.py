@@ -52,39 +52,42 @@ def _with_marker(benchmod, payload):
 
 
 def test_none_disables(benchmod):
-    assert benchmod.resolve_bench_ckpt(_args(ckpt="none")) == ("", 3, None, None)
+    assert benchmod.resolve_bench_ckpt(_args(ckpt="none")) == (
+        "", 3, None, None, None)
 
 
 def test_explicit_path_ignores_marker_profile(benchmod, tmp_path):
     p = tmp_path / "ckpt_dir"
     p.mkdir()
-    ckpt, spec, hb, hc = benchmod.resolve_bench_ckpt(
+    ckpt, spec, hb, hc, hkv = benchmod.resolve_bench_ckpt(
         _args(ckpt=str(p), harness_spec=5))
-    assert (ckpt, spec, hb, hc) == (str(p), 5, None, None)
+    assert (ckpt, spec, hb, hc, hkv) == (str(p), 5, None, None, None)
 
 
 def test_missing_explicit_path_runs_without(benchmod):
-    ckpt, _, _, _ = benchmod.resolve_bench_ckpt(
+    ckpt, _, _, _, _ = benchmod.resolve_bench_ckpt(
         _args(ckpt="/nonexistent/ckpt"))
     assert ckpt == ""
 
 
 def test_armed_marker_carries_profile(benchmod):
-    ckpt, spec, hb, hc = _with_marker(
+    ckpt, spec, hb, hc, hkv = _with_marker(
         benchmod,
         {"ckpt": os.path.join(ROOT, "bench.py"), "spec": 4,
-         "batch": 24, "prefill_chunks": 3})
-    assert ckpt.endswith("bench.py") and spec == 4 and (hb, hc) == (24, 3)
+         "batch": 24, "prefill_chunks": 3, "kv": "bf16"})
+    assert ckpt.endswith("bench.py") and spec == 4
+    assert (hb, hc, hkv) == (24, 3, "bf16")
 
 
 def test_armed_marker_minimal_fields(benchmod):
-    ckpt, spec, hb, hc = _with_marker(
+    ckpt, spec, hb, hc, hkv = _with_marker(
         benchmod, {"ckpt": os.path.join(ROOT, "bench.py")})
-    assert ckpt.endswith("bench.py") and spec == 3 and hb is None and hc is None
+    assert ckpt.endswith("bench.py") and spec == 3
+    assert hb is None and hc is None and hkv is None
 
 
 def test_bad_marker_ignored(benchmod):
-    ckpt, _, _, _ = _with_marker(benchmod, {"spec": "not-a-ckpt"})
+    ckpt, _, _, _, _ = _with_marker(benchmod, {"spec": "not-a-ckpt"})
     assert ckpt == ""
 
 

@@ -25,6 +25,11 @@ def main():
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--chunks", type=int, default=3)
     p.add_argument("--spec", type=int, default=3)
+    p.add_argument("--kv", choices=["int8", "bf16"], default="int8",
+                   help="KV-cache dtype the checkpoint was VALIDATED at "
+                        "(int8-KV prefill skew is the r4 degeneration "
+                        "suspect; a bf16-validated ckpt must be served "
+                        "bf16)")
     p.add_argument("--force", action="store_true",
                    help="arm even below the acceptance/templated gates")
     args = p.parse_args()
@@ -42,7 +47,7 @@ def main():
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as f:
         json.dump({"ckpt": ckpt, "spec": args.spec, "batch": args.batch,
-                   "prefill_chunks": args.chunks}, f)
+                   "prefill_chunks": args.chunks, "kv": args.kv}, f)
     print(f"armed {marker}: acceptance={acc} templated={frac} ckpt={ckpt}")
 
 
