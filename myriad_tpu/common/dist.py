@@ -63,12 +63,40 @@ def init_distributed_mode(run_cfg=None) -> None:
         )
 
 
+def _host_isa_tag() -> str:
+    """Fingerprint of this host's CPU feature set.  XLA:CPU AOT cache
+    entries encode the compile machine's vector ISA; loading them on a
+    host with different features logs 'could lead to ... SIGILL' and has
+    crashed a full-arch execute (r5 find: sandbox rounds migrate between
+    heterogeneous hosts).  CPU cache dirs are therefore scoped per-ISA;
+    TPU entries are keyed by the TPU target and stay shared."""
+    import hashlib
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+    except OSError:
+        import platform
+
+        flags = platform.processor() or platform.machine()
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> None:
     """Persistent XLA compilation cache: multi-minute whole-pipeline
     compiles (prefill + 90-step decode) become one-time per machine."""
     path = path or os.environ.get(
         "MYRIAD_COMPILATION_CACHE", os.path.expanduser("~/.cache/myriad_tpu/xla")
     )
+    try:
+        if jax.default_backend() == "cpu":
+            path = os.path.join(path, f"cpu-{_host_isa_tag()}")
+    except Exception:  # pragma: no cover - backend init failure
+        pass
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -99,6 +99,17 @@ def test_context_manager_releases_on_error(lockfile):
     assert tpu_lock.holder() is None
 
 
+def test_host_isa_tag_deterministic():
+    """CPU compile-cache scoping (dist._host_isa_tag): sandbox rounds
+    migrate between heterogeneous hosts and mismatched XLA:CPU AOT cache
+    entries can SIGILL — the tag must be stable on one host and derived
+    from the CPU feature flags."""
+    from myriad_tpu.common.dist import _host_isa_tag
+
+    t1, t2 = _host_isa_tag(), _host_isa_tag()
+    assert t1 == t2 and len(t1) == 10 and t1.isalnum()
+
+
 def test_required_raises_when_busy(lockfile):
     json.dump({"pid": os.getpid(), "tag": "other", "t0": 0,
                "deadline": 1e18, "token": "not-ours"}, open(lockfile, "w"))
