@@ -73,7 +73,7 @@ run:
   init_lr: {lr}
   min_lr: 0
   warmup_lr: 1e-6
-  weight_decay: 0.05
+  weight_decay: {weight_decay}
   max_epoch: {epochs}
   iters_per_epoch: {iters}
   batch_size_train: {batch}
@@ -180,6 +180,17 @@ def main():
     p.add_argument("--spec", type=int, default=3)
     p.add_argument("--max-new", type=int, default=None)
     p.add_argument("--n-test", type=int, default=None)
+    p.add_argument("--n-train", type=int, default=None,
+                   help="synthetic train images (default max(32, 4*batch)).  "
+                        "r5 diagnosis: 32 base images let the trainable "
+                        "stack MEMORIZE per-image feature keys of the "
+                        "chaotic random body (train teacher-forced acc "
+                        "high, test acc ~0, rollout emits the corpus "
+                        "n-gram mode); hundreds of images force the "
+                        "image-invariant echo-state solution")
+    p.add_argument("--weight-decay", type=float, default=0.05,
+                   help="optimizer weight decay (higher biases the readout "
+                        "away from key-memorization)")
     p.add_argument("--prefill-chunks", type=int, default=3,
                    help="full profile eval: memory knob at real prompt "
                         "buckets (BENCH_NOTES: spec fits b24@1 / b32@3)")
@@ -233,14 +244,16 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     data_root = os.path.join(args.workdir, "data")
     out_dir = os.path.join(args.workdir, "train_out")
+    n_train = args.n_train or max(32, batch * 4)
     if not os.path.isdir(os.path.join(data_root, "mvtec")):
         from fixtures import make_ad_dataset
 
         make_ad_dataset(data_root, dataset="mvtec", classes=("bottle",),
-                        n_train=max(32, batch * 4), n_test=n_test,
+                        n_train=n_train, n_test=n_test,
                         img_size=img_size, seed=0)
 
-    summary = {"metric": f"train_to_spec ({args.profile})", "unit": "mixed"}
+    summary = {"metric": f"train_to_spec ({args.profile})", "unit": "mixed",
+               "n_train": n_train, "weight_decay": args.weight_decay}
     if args.train_no_bos:
         summary["train_add_bos"] = False
     if args.eval_bos:
@@ -260,6 +273,7 @@ def main():
                 max_txt_len=64 if tiny else 96, img_size=img_size,
                 data_root=data_root, device=device, lr=lr, epochs=epochs,
                 iters=iters, batch=batch, out_dir=out_dir,
+                weight_decay=args.weight_decay,
                 warmup=min(50, iters // 2)))
         wall = run_cmd([sys.executable, os.path.join(ROOT, "train.py"),
                         "--cfg-path", train_cfg],
