@@ -35,6 +35,20 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _mem_mb(peak: bool = False) -> float:
+    """Current/peak device HBM use (0 when the backend has no stats —
+    CPU).  Used to bracket the block-layout 48-slot runtime OOM (r5:
+    warm drain succeeds, the measured 48-slot burst RESOURCE_EXHAUSTs)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        key = "peak_bytes_in_use" if peak else "bytes_in_use"
+        return stats.get(key, 0) / (1 << 20)
+    except Exception:
+        return 0.0
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--requests", type=int, default=96)
@@ -209,7 +223,8 @@ def main():
     warm = serving.drain()
     assert sorted(r["request_id"] for r in warm) == sorted(wids)
     compile_s = time.time() - t0
-    print(f"[engineprobe] warm {compile_s:.1f}s", file=sys.stderr)
+    print(f"[engineprobe] warm {compile_s:.1f}s mem={_mem_mb():.0f}MB "
+          f"peak={_mem_mb(peak=True):.0f}MB", file=sys.stderr)
     for k in serving.stats:
         serving.stats[k] = 0
 
@@ -237,19 +252,29 @@ def main():
         pending_arrivals = list(requests)
 
     ticks = 0
-    while serving.pending or pending_arrivals:
-        if pending_arrivals:
-            batch, pending_arrivals = (pending_arrivals[: args.arrive],
-                                       pending_arrivals[args.arrive:])
-            now = time.time()  # arrival stamp: before the embed forward
-            for rid in serving.submit_batch(batch, max_group=group, lazy=True):
-                submit_wall[rid] = now
-            sync_submit()
-            submit_s += time.time() - now
-        for r in serving.step():
-            finish_wall[r["request_id"]] = time.time()
-        ticks += 1
-        assert ticks < 100_000
+    try:
+        while serving.pending or pending_arrivals:
+            if pending_arrivals:
+                batch, pending_arrivals = (pending_arrivals[: args.arrive],
+                                           pending_arrivals[args.arrive:])
+                now = time.time()  # arrival stamp: before the embed forward
+                for rid in serving.submit_batch(batch, max_group=group,
+                                                lazy=True):
+                    submit_wall[rid] = now
+                sync_submit()
+                submit_s += time.time() - now
+            for r in serving.step():
+                finish_wall[r["request_id"]] = time.time()
+            ticks += 1
+            assert ticks < 100_000
+    except Exception:
+        occ = sum(s is not None
+                  for s in getattr(serving.engine, "_slot_req", []))
+        print(f"[engineprobe] FAILED at tick {ticks} "
+              f"(occupied {occ}/{args.slots}): "
+              f"mem={_mem_mb():.0f}MB peak={_mem_mb(peak=True):.0f}MB",
+              file=sys.stderr)
+        raise
     wall = time.time() - t_start
 
     lat = np.asarray([finish_wall[r] - submit_wall[r] for r in finish_wall])
