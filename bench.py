@@ -644,6 +644,11 @@ def main():
             })
             if "spec_acceptance" in h:
                 result["spec_acceptance"] = h["spec_acceptance"]
+            if "phase_means_s" in h:
+                # steady-state per-batch phase walls (collate/dispatch/
+                # wait/hflush) — the harness-vs-fixed-batch gap attribution
+                # (VERDICT r3 #4)
+                result["phase_means_s"] = h["phase_means_s"]
             result["harness_batch"] = h.get("harness_batch")
             ckpt, ckpt_spec, _, _, _ = resolve_bench_ckpt(args)
             if ckpt:
