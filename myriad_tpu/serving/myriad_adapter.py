@@ -56,6 +56,7 @@ class MyriadServing:
         stage: int = 1,
         spec_k: int = 0,
         block_size: int = 0,
+        max_admit_chunk: int = 16,
     ):
         self.myriad = myriad
         self.stage = stage
@@ -76,7 +77,7 @@ class MyriadServing:
             slots=slots, bucket=bucket, config=self.cfg,
             cache_dtype=cache_dtype, segment=segment,
             admit_widths=admit_widths, spec_k=spec_k,
-            block_size=block_size)
+            block_size=block_size, max_admit_chunk=max_admit_chunk)
         self._embed_progs: Dict[tuple, callable] = {}
         self._meta: Dict[int, Dict] = {}
         # per-group VE anomaly scores (max of the zero-/one-shot map, the

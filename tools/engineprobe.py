@@ -73,6 +73,14 @@ def main():
                         "writes, no per-row pool rewrite).  Default: 8 "
                         "for greedy burst/trickle, 0 (per-row) for "
                         "spec/chat which need per-row frontiers")
+    p.add_argument("--admit-chunk", type=int, default=16, metavar="N",
+                   help="cap on rows prefilled per admission chunk "
+                        "(engine max_admit_chunk).  8 halves admission "
+                        "prefill temps — the r5 mitigation for the "
+                        "48-slot block-layout RESOURCE_EXHAUSTED (pool + "
+                        "params leave ~2 GiB headroom; a (320,16) "
+                        "admission chunk's mini-KV + activations exceed "
+                        "it)")
     p.add_argument("--ckpt", type=str, default="",
                    help="trained trainable-subtree checkpoint (e.g. the "
                         "tools/train_to_spec.py output) merged into the "
@@ -198,7 +206,7 @@ def main():
         model, slots=args.slots, segment=args.segment,
         max_new_tokens=args.max_new, bucket=bucket,
         admit_widths=(64, 160, 320), spec_k=args.spec,
-        block_size=args.block)
+        block_size=args.block, max_admit_chunk=args.admit_chunk)
     serving.engine.profile_sync = args.sync_phases
 
     def sync_submit():
