@@ -634,6 +634,28 @@ class ServingEngine:
         self._state = jax.jit(
             lambda: self._init_state(),
             out_shardings=self._state_formats)()
+        # verify-and-repair (r5): with a warm persistent compile cache the
+        # init executable can emit a leaf in a DIFFERENT layout than the
+        # segment's AUTO choice (measured: the bool[48,416] bitmap came
+        # back row-major where the segment wants it transposed —
+        # "Layout passed to jit does not match" at the first insert).
+        # Small leaves relayout for free; a big-pool repair would hold 2x
+        # the pool transiently, so warn loudly — it indicates the
+        # out_shardings materialization itself regressed.
+        def _conform(x, fmt):
+            if fmt is None or getattr(x, "format", None) == fmt:
+                return x
+            if x.nbytes > (1 << 27):
+                import logging
+
+                logging.warning(
+                    "engine state leaf %s (%d MB) relayouting to the "
+                    "segment's format — transient 2x copy",
+                    x.shape, x.nbytes >> 20)
+            return jax.device_put(x, fmt)
+
+        self._state = jax.tree_util.tree_map(_conform, self._state,
+                                             self._state_formats)
         # an AUTO-layout jit cannot be CALLED with concrete arrays — run
         # the AOT executable itself (state stays in its formats, so every
         # call matches exactly; donation is baked in from donate_argnums)
