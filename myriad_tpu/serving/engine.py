@@ -643,7 +643,10 @@ class ServingEngine:
         # the pool transiently, so warn loudly — it indicates the
         # out_shardings materialization itself regressed.
         def _conform(x, fmt):
-            if fmt is None or getattr(x, "format", None) == fmt:
+            try:
+                if fmt is None or getattr(x, "format", None) == fmt:
+                    return x
+            except Exception:  # extended dtypes (PRNG keys) have no layout
                 return x
             if x.nbytes > (1 << 27):
                 import logging
@@ -652,7 +655,22 @@ class ServingEngine:
                     "engine state leaf %s (%d MB) relayouting to the "
                     "segment's format — transient 2x copy",
                     x.shape, x.nbytes >> 20)
-            return jax.device_put(x, fmt)
+            try:
+                return jax.device_put(x, fmt)
+            except Exception:
+                # some leaves reject a Format device_put (measured
+                # INVALID_ARGUMENT on TPU); a jitted identity with pinned
+                # out_shardings relayouts anything jit can emit
+                try:
+                    return jax.jit(lambda a: a, out_shardings=fmt)(x)
+                except Exception:
+                    import logging
+
+                    logging.warning(
+                        "engine state leaf %s: could not conform layout "
+                        "%s -> %s; leaving as-is", x.shape,
+                        getattr(x, "format", "?"), fmt)
+                    return x
 
         self._state = jax.tree_util.tree_map(_conform, self._state,
                                              self._state_formats)
