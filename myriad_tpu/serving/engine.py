@@ -630,10 +630,23 @@ class ServingEngine:
         compiled = jfn.lower(self.params, state_struct).compile()
         self._state_formats = compiled.input_formats[0][1]
         # materialize the (zero) state straight into the chosen layouts —
-        # never holds a second copy of the pool
-        self._state = jax.jit(
-            lambda: self._init_state(),
-            out_shardings=self._state_formats)()
+        # never holds a second copy of the pool.  The persistent
+        # compilation cache is DISABLED for this one (seconds-cheap)
+        # compile: its cache key does not discriminate on the pinned
+        # out_shardings layouts, so a warm cache serves an executable
+        # built for a DIFFERENT layout choice and the pool materializes
+        # row-major where the segment wants T-major (measured r5: the
+        # 48-slot rerun got every (48,32,416,128) payload in (0,1,2,3)
+        # against the segment's (2,0,1,3) — unrepairable in place without
+        # a 2x pool copy).
+        cc_prev = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            self._state = jax.jit(
+                lambda: self._init_state(),
+                out_shardings=self._state_formats)()
+        finally:
+            jax.config.update("jax_compilation_cache_dir", cc_prev)
         # verify-and-repair (r5): with a warm persistent compile cache the
         # init executable can emit a leaf in a DIFFERENT layout than the
         # segment's AUTO choice (measured: the bool[48,416] bitmap came
