@@ -602,6 +602,31 @@ class ServingEngine:
         return (jax.devices()[0].platform == "tpu"
                 and os.environ.get("MYRIAD_ENGINE_LAYOUT", "1") != "0")
 
+    def _uncached_compile(self):
+        """Context: compile WITHOUT the persistent cache.
+
+        The persistent-cache key does not discriminate on pinned
+        in/out_shardings LAYOUTS (r5, measured twice): a warm cache can
+        serve (a) an init executable that materializes the pool row-major
+        where the segment wants T-major, and (b) a segment AUTO compile
+        whose deserialized ``input_formats`` claim a transposed bool
+        bitmap no fresh program emits.  Every layout-pinned engine
+        program (AUTO segment, init, block inserts) therefore compiles
+        fresh per process; the format-free tower/prefill programs stay
+        cached, so the per-process cost is minutes, not the cold hour."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            prev = jax.config.jax_compilation_cache_dir
+            jax.config.update("jax_compilation_cache_dir", None)
+            try:
+                yield
+            finally:
+                jax.config.update("jax_compilation_cache_dir", prev)
+
+        return ctx()
+
     def _coordinate_state_layouts(self, run):
         """Compile the block segment with AUTO state layouts and relayout
         the resident state into the compiler's choice.
@@ -627,7 +652,8 @@ class ServingEngine:
                       in_shardings=(self._params_formats, auto),
                       out_shardings=auto)
         state_struct = jax.eval_shape(self._init_state)
-        compiled = jfn.lower(self.params, state_struct).compile()
+        with self._uncached_compile():
+            compiled = jfn.lower(self.params, state_struct).compile()
         self._state_formats = compiled.input_formats[0][1]
         # materialize the (zero) state straight into the chosen layouts —
         # never holds a second copy of the pool.  The persistent
@@ -639,14 +665,10 @@ class ServingEngine:
         # 48-slot rerun got every (48,32,416,128) payload in (0,1,2,3)
         # against the segment's (2,0,1,3) — unrepairable in place without
         # a 2x pool copy).
-        cc_prev = jax.config.jax_compilation_cache_dir
-        try:
-            jax.config.update("jax_compilation_cache_dir", None)
+        with self._uncached_compile():
             self._state = jax.jit(
                 lambda: self._init_state(),
                 out_shardings=self._state_formats)()
-        finally:
-            jax.config.update("jax_compilation_cache_dir", cc_prev)
         # verify-and-repair (r5): with a warm persistent compile cache the
         # init executable can emit a leaf in a DIFFERENT layout than the
         # segment's AUTO choice (measured: the bool[48,416] bitmap came
@@ -1207,9 +1229,12 @@ class ServingEngine:
         if self.block_size:
             Bg = self.block_size
             touched = sorted({s // Bg for s in slot_list})
-            self._state = self._insert_prog(
-                self._state, mini, slots, last0, jnp.asarray(valid),
-                jnp.asarray(touched, jnp.int32))
+            # layout-pinned program: first-call compiles per (width, n)
+            # must bypass the persistent cache (_uncached_compile note)
+            with self._uncached_compile():
+                self._state = self._insert_prog(
+                    self._state, mini, slots, last0, jnp.asarray(valid),
+                    jnp.asarray(touched, jnp.int32))
             # leftover rows of a partially filled block: pinned until the
             # whole block frees (_free_blocks)
             taken = set(slot_list)
