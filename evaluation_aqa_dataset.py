@@ -71,6 +71,11 @@ def parse_args():
                    help="engine decode steps per compiled tick")
     p.add_argument("--engine-block", type=int, default=8,
                    help="engine block KV layout size (0 = per-row)")
+    p.add_argument("--engine-admit-chunk", type=int, default=8,
+                   help="rows prefilled per admission chunk (engine "
+                        "max_admit_chunk; 8 keeps the admission mini-KV "
+                        "inside the ~2 GiB headroom at the d32 int8 "
+                        "serving profile — r5 capacity finding)")
     p.add_argument("--bench", action="store_true",
                    help="print a JSON throughput line (images/sec, excluding "
                         "the first compile batch) after the run")
@@ -173,7 +178,8 @@ def run_engine_eval(args, model, dataloader, save_path):
     serving = MyriadServing(
         model, slots=args.bs, segment=args.engine_segment,
         max_new_tokens=args.max_new_tokens, admit_widths=(64, 160, 320),
-        spec_k=spec_k, block_size=block)
+        spec_k=spec_k, block_size=block,
+        max_admit_chunk=args.engine_admit_chunk)
 
     meta = {}
     t0 = time.time()
