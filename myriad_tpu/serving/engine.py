@@ -648,10 +648,20 @@ class ServingEngine:
         auto = Format(Layout.AUTO)
         self._params_formats = jax.tree_util.tree_map(
             lambda x: getattr(x, "format", None), self.params)
-        jfn = jax.jit(run, donate_argnums=(1,),
-                      in_shardings=(self._params_formats, auto),
-                      out_shardings=auto)
         state_struct = jax.eval_shape(self._init_state)
+        # AUTO layouts ONLY for the big KV-pool leaves (payloads +
+        # scales, ndim >= 3) — the layout-copy OOM lives there.  Small
+        # leaves (bitmap, tokens, flags) stay DEFAULT: XLA's AUTO choice
+        # for them is nondeterministic across processes (measured r5: one
+        # process' segment wanted the bool bitmap transposed, the init
+        # could not emit it, and the first insert failed its layout
+        # check), and their internal relayout cost is nil.
+        state_spec = jax.tree_util.tree_map(
+            lambda s: auto if s.ndim >= 3 else None, state_struct)
+        out_spec = (state_spec, None, None, None, None)
+        jfn = jax.jit(run, donate_argnums=(1,),
+                      in_shardings=(self._params_formats, state_spec),
+                      out_shardings=out_spec)
         with self._uncached_compile():
             compiled = jfn.lower(self.params, state_struct).compile()
         self._state_formats = compiled.input_formats[0][1]
