@@ -651,13 +651,27 @@ class ServingEngine:
         state_struct = jax.eval_shape(self._init_state)
         # AUTO layouts ONLY for the big KV-pool leaves (payloads +
         # scales, ndim >= 3) — the layout-copy OOM lives there.  Small
-        # leaves (bitmap, tokens, flags) stay DEFAULT: XLA's AUTO choice
-        # for them is nondeterministic across processes (measured r5: one
-        # process' segment wanted the bool bitmap transposed, the init
-        # could not emit it, and the first insert failed its layout
-        # check), and their internal relayout cost is nil.
-        state_spec = jax.tree_util.tree_map(
-            lambda s: auto if s.ndim >= 3 else None, state_struct)
+        # leaves (bitmap, tokens, flags) pin to an EXPLICIT row-major
+        # Format on both sides: a None entry means "compiler's choice",
+        # which is nondeterministic across processes (measured r5: one
+        # segment compile wanted the bool bitmap transposed — XLA prefers
+        # it, 20 KB padded vs 53 KB — while another chose row-major, and
+        # a mixed in/out choice even fails donation aliasing at compile:
+        # "Expected aliased input ... to have the same size").  Their
+        # internal relayout cost is nil, so determinism wins.
+        def _pin(s):
+            if s.ndim >= 3:
+                return auto
+            try:
+                if jnp.issubdtype(s.dtype, jax.dtypes.extended):
+                    return None  # PRNG keys: no layout surface
+            except Exception:
+                return None
+            if s.ndim == 0:
+                return None
+            return Format(Layout(major_to_minor=tuple(range(s.ndim))))
+
+        state_spec = jax.tree_util.tree_map(_pin, state_struct)
         out_spec = (state_spec, None, None, None, None)
         jfn = jax.jit(run, donate_argnums=(1,),
                       in_shardings=(self._params_formats, state_spec),
