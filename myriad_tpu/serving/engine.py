@@ -659,6 +659,14 @@ class ServingEngine:
         # a mixed in/out choice even fails donation aliasing at compile:
         # "Expected aliased input ... to have the same size").  Their
         # internal relayout cost is nil, so determinism wins.
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            small_shard = NamedSharding(self.mesh, P())
+        else:
+            small_shard = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
         def _pin(s):
             if s.ndim >= 3:
                 return auto
@@ -669,7 +677,9 @@ class ServingEngine:
                 return None
             if s.ndim == 0:
                 return None
-            return Format(Layout(major_to_minor=tuple(range(s.ndim))))
+            # a concrete Layout requires a concrete sharding in Format
+            return Format(Layout(major_to_minor=tuple(range(s.ndim))),
+                          small_shard)
 
         state_spec = jax.tree_util.tree_map(_pin, state_struct)
         out_spec = (state_spec, None, None, None, None)
