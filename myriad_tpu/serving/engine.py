@@ -334,7 +334,13 @@ class ServingEngine:
             # writes use; `bitmap` marks each row's real (attended)
             # cache columns
             state["store"] = jnp.zeros((self.n_blocks,), jnp.int32)
-            state["bitmap"] = jnp.zeros((self.slots, self.bucket), bool)
+            # int8, not bool: packed-pred layouts gave XLA a 2.6x-smaller
+            # transposed preference the axon AOT path applies to the
+            # INPUT while honoring the pinned row-major OUTPUT — donation
+            # aliasing then fails at compile ("Expected aliased input ...
+            # same size").  int8 tiles (32,128) row-major with no packing
+            # preference; the mask consumers read it as !=0.
+            state["bitmap"] = jnp.zeros((self.slots, self.bucket), jnp.int8)
         return state
 
     # ------------------------------------------------------------- programs
@@ -413,7 +419,8 @@ class ServingEngine:
                 out["store"] = state["store"].at[blocks].set(width)
                 rows = (jnp.arange(bucket, dtype=jnp.int32)[None, :]
                         < valid[:, None])
-                out["bitmap"] = state["bitmap"].at[slots].set(rows)
+                out["bitmap"] = state["bitmap"].at[slots].set(
+                    rows.astype(state["bitmap"].dtype))
             return out
 
         if self._state_formats is not None:
@@ -786,7 +793,8 @@ class ServingEngine:
                 col = jnp.repeat(st["store"], Bg)
                 hot = (jnp.arange(st["bitmap"].shape[1],
                                   dtype=jnp.int32)[None, :] == col[:, None])
-                bitmap = st["bitmap"] | (hot & active[:, None])
+                bitmap = st["bitmap"] | (hot & active[:, None]).astype(
+                    st["bitmap"].dtype)
                 embeds = model.apply(params, st["last"][:, None],
                                      method=LlamaForCausalLM.embed)
                 cache = tuple(dict(c, index=st["store"])
@@ -794,7 +802,7 @@ class ServingEngine:
                 logits, cache = model.apply(
                     params, embeds,
                     positions=st["length"][:, None],
-                    attention_mask=bitmap,
+                    attention_mask=(bitmap != 0),
                     storage_positions=col[:, None],
                     cache=cache)
                 rng, sub = jax.random.split(st["rng"])
