@@ -656,43 +656,21 @@ class ServingEngine:
         self._params_formats = jax.tree_util.tree_map(
             lambda x: getattr(x, "format", None), self.params)
         state_struct = jax.eval_shape(self._init_state)
-        # AUTO layouts ONLY for the big KV-pool leaves (payloads +
-        # scales, ndim >= 3) — the layout-copy OOM lives there.  Small
-        # leaves (bitmap, tokens, flags) pin to an EXPLICIT row-major
-        # Format on both sides: a None entry means "compiler's choice",
-        # which is nondeterministic across processes (measured r5: one
-        # segment compile wanted the bool bitmap transposed — XLA prefers
-        # it, 20 KB padded vs 53 KB — while another chose row-major, and
-        # a mixed in/out choice even fails donation aliasing at compile:
-        # "Expected aliased input ... to have the same size").  Their
-        # internal relayout cost is nil, so determinism wins.
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding
-            from jax.sharding import PartitionSpec as P
-
-            small_shard = NamedSharding(self.mesh, P())
-        else:
-            small_shard = jax.sharding.SingleDeviceSharding(jax.devices()[0])
-
-        def _pin(s):
-            if s.ndim >= 3:
-                return auto
-            try:
-                if jnp.issubdtype(s.dtype, jax.dtypes.extended):
-                    return None  # PRNG keys: no layout surface
-            except Exception:
-                return None
-            if s.ndim == 0:
-                return None
-            # a concrete Layout requires a concrete sharding in Format
-            return Format(Layout(major_to_minor=tuple(range(s.ndim))),
-                          small_shard)
-
-        state_spec = jax.tree_util.tree_map(_pin, state_struct)
-        out_spec = (state_spec, None, None, None, None)
+        # AUTO layouts for every state leaf.  Measured r5 facts that shape
+        # this contract: (a) the axon AOT path IGNORES concrete INPUT
+        # layout constraints (it free-chooses — e.g. the transposed
+        # (4,1)-packed layout for the 2D bitmap) while honoring OUTPUT
+        # pins, so pinning inputs is impossible and a pinned output that
+        # differs from the free input choice fails donation aliasing at
+        # compile ("Expected aliased input ... same size"); (b) the
+        # persistent cache can serve executables whose recorded formats
+        # lie (bypassed via _uncached_compile).  Therefore: let the
+        # segment free-choose in/out (donation keeps them equal), read
+        # input_formats, and force every state PRODUCER (init, inserts)
+        # to emit exactly those via out_shardings — which ARE honored.
         jfn = jax.jit(run, donate_argnums=(1,),
-                      in_shardings=(self._params_formats, state_spec),
-                      out_shardings=out_spec)
+                      in_shardings=(self._params_formats, auto),
+                      out_shardings=auto)
         with self._uncached_compile():
             compiled = jfn.lower(self.params, state_struct).compile()
         self._state_formats = compiled.input_formats[0][1]
