@@ -698,7 +698,15 @@ class ServingEngine:
         # out_shardings materialization itself regressed.
         def _conform(x, fmt):
             try:
-                if fmt is None or getattr(x, "format", None) == fmt:
+                if fmt is None:
+                    return x
+                cur = getattr(x, "format", None)
+                # compare LAYOUTS explicitly (stringified: Layout equality
+                # proved unreliable in-process — the r5 CLI run had a
+                # row-major bitmap sail through an == check against the
+                # segment's transposed choice and fail at the insert)
+                if cur is not None and str(getattr(cur, "layout", None)) \
+                        == str(getattr(fmt, "layout", None)):
                     return x
             except Exception:  # extended dtypes (PRNG keys) have no layout
                 return x
