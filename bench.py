@@ -628,6 +628,23 @@ def main():
         harness = not (args.spec or args.pad_prefix or args.breakdown
                        or args.dump_tokens or args.decode_attn)
     if harness:
+        # free this process's device residency first: the harness
+        # subprocess builds its OWN 8.4G params (+ engine pools under
+        # --engine), and the chip cannot hold both — the child's first
+        # transfers then fail (axon reports the allocation failure as
+        # INVALID_ARGUMENT).  Deleting the references and clearing jit
+        # caches drops the parent's buffers; the fixed-batch numbers are
+        # already recorded in `result`.
+        import gc
+
+        del eval_step, eval_step_fn, model, llama, ve, ve_module
+        del params, ve_params, text_feats, images, tokens
+        try:
+            del spec_step_fn, oracle
+        except NameError:
+            pass
+        jax.clear_caches()
+        gc.collect()
         h = run_harness(args, profile, b)
         if h is not None:
             hv = float(h["value"])
