@@ -130,6 +130,13 @@ class _PendingBatch:
         )
 
 
+class LayoutCoordinationError(RuntimeError):
+    """Block-mode layout coordination could not materialize the engine
+    state in the segment's chosen device layouts (backend-dependent —
+    see _coordinate_state_layouts).  The constructor catches this and
+    falls back to per-row frontiers."""
+
+
 class ServingEngine:
     """Continuous-batching decode over a fixed slot pool.
 
@@ -290,7 +297,25 @@ class ServingEngine:
         self._state_formats = None
         self._params_formats = None
         if self.block_size and self._layout_coordination():
-            self._segment_prog = self._make_segment_block()
+            try:
+                self._segment_prog = self._make_segment_block()
+            except LayoutCoordinationError as e:
+                # self-heal (r5): on TPU the axon backend honors output
+                # layout pins only nondeterministically per process; when
+                # the coordinated block state cannot be materialized, the
+                # per-row layout (no cross-program layout contract) is
+                # slower but always correct
+                import logging
+
+                logging.warning(
+                    "block KV layout disabled, falling back to per-row "
+                    "frontiers: %s", e)
+                self.block_size = 0
+                self.n_blocks = 0
+                self._slot_blocked = [False] * self.slots
+                self._state_formats = None
+                self._segment_prog = None
+                self._state = self._init_state()
         else:
             self._state = self._init_state()
 
@@ -726,16 +751,23 @@ class ServingEngine:
                 try:
                     return jax.jit(lambda a: a, out_shardings=fmt)(x)
                 except Exception:
-                    import logging
-
-                    logging.warning(
-                        "engine state leaf %s: could not conform layout "
-                        "%s -> %s; leaving as-is", x.shape,
-                        getattr(x, "format", "?"), fmt)
+                    failed.append((x.shape, str(getattr(x, "format", "?")),
+                                   str(fmt)))
                     return x
 
+        failed: list = []
         self._state = jax.tree_util.tree_map(_conform, self._state,
                                              self._state_formats)
+        if failed:
+            # serving with non-conforming state crashes at the first
+            # insert's layout check — surface it NOW so the constructor
+            # can fall back to per-row frontiers (engine __init__)
+            raise LayoutCoordinationError(
+                f"{len(failed)} state leaves could not be materialized in "
+                f"the segment's chosen layouts (first: "
+                f"{failed[0][0]} {failed[0][1]} -> {failed[0][2]}); this "
+                "axon build honors neither output layout pins nor device "
+                "relayout for them")
         # an AUTO-layout jit cannot be CALLED with concrete arrays — run
         # the AOT executable itself (state stays in its formats, so every
         # call matches exactly; donation is baked in from donate_argnums)
