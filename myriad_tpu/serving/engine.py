@@ -721,53 +721,36 @@ class ServingEngine:
         # Small leaves relayout for free; a big-pool repair would hold 2x
         # the pool transiently, so warn loudly — it indicates the
         # out_shardings materialization itself regressed.
-        def _conform(x, fmt):
+        # CHECK-ONLY conformity pass — no repair attempts.  Measured r5:
+        # a repair `device_put(x, Format)` (or a jitted-identity
+        # relayout) that the backend rejects POISONS the tunnel session —
+        # every subsequent dispatch, even a plain `zeros`, then fails
+        # INVALID_ARGUMENT.  Layouts are compared stringified (Layout
+        # equality proved unreliable: a row-major bitmap sailed through
+        # == against the segment's transposed choice).
+        def _check(x, fmt):
             try:
                 if fmt is None:
-                    return x
+                    return
                 cur = getattr(x, "format", None)
-                # compare LAYOUTS explicitly (stringified: Layout equality
-                # proved unreliable in-process — the r5 CLI run had a
-                # row-major bitmap sail through an == check against the
-                # segment's transposed choice and fail at the insert)
                 if cur is not None and str(getattr(cur, "layout", None)) \
-                        == str(getattr(fmt, "layout", None)):
-                    return x
+                        != str(getattr(fmt, "layout", None)):
+                    failed.append((x.shape, str(cur), str(fmt)))
             except Exception:  # extended dtypes (PRNG keys) have no layout
-                return x
-            if x.nbytes > (1 << 27):
-                import logging
-
-                logging.warning(
-                    "engine state leaf %s (%d MB) relayouting to the "
-                    "segment's format — transient 2x copy",
-                    x.shape, x.nbytes >> 20)
-            try:
-                return jax.device_put(x, fmt)
-            except Exception:
-                # some leaves reject a Format device_put (measured
-                # INVALID_ARGUMENT on TPU); a jitted identity with pinned
-                # out_shardings relayouts anything jit can emit
-                try:
-                    return jax.jit(lambda a: a, out_shardings=fmt)(x)
-                except Exception:
-                    failed.append((x.shape, str(getattr(x, "format", "?")),
-                                   str(fmt)))
-                    return x
+                pass
 
         failed: list = []
-        self._state = jax.tree_util.tree_map(_conform, self._state,
-                                             self._state_formats)
+        jax.tree_util.tree_map(_check, self._state, self._state_formats)
         if failed:
             # serving with non-conforming state crashes at the first
             # insert's layout check — surface it NOW so the constructor
             # can fall back to per-row frontiers (engine __init__)
             raise LayoutCoordinationError(
-                f"{len(failed)} state leaves could not be materialized in "
-                f"the segment's chosen layouts (first: "
+                f"{len(failed)} state leaves materialized outside the "
+                f"segment's chosen layouts (first: "
                 f"{failed[0][0]} {failed[0][1]} -> {failed[0][2]}); this "
-                "axon build honors neither output layout pins nor device "
-                "relayout for them")
+                "axon build honors output layout pins only "
+                "nondeterministically and rejects device relayout")
         # an AUTO-layout jit cannot be CALLED with concrete arrays — run
         # the AOT executable itself (state stays in its formats, so every
         # call matches exactly; donation is baked in from donate_argnums)
