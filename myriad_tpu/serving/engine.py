@@ -310,11 +310,18 @@ class ServingEngine:
                 logging.warning(
                     "block KV layout disabled, falling back to per-row "
                     "frontiers: %s", e)
+                import gc
+
                 self.block_size = 0
                 self.n_blocks = 0
                 self._slot_blocked = [False] * self.slots
                 self._state_formats = None
                 self._segment_prog = None
+                # the mislayouted coordinated state is already resident
+                # (~4-5 GB pool); drop it BEFORE allocating the per-row
+                # one or the two pools + params exceed the chip
+                self._state = None
+                gc.collect()
                 self._state = self._init_state()
         else:
             self._state = self._init_state()
