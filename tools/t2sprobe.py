@@ -215,6 +215,52 @@ def main():
         print(f"[probe] {name}: {out['b_' + name]}", file=sys.stderr,
               flush=True)
 
+    # ---- generalization: the SAME training program on UNSEEN test images --
+    # r5 D1 showed matched-numerics serving still degenerates, so the rival
+    # hypothesis is train->test image generalization: a chaotic random body
+    # maps unseen images to decorrelated features and the memorizing
+    # readout emits the corpus mode.  Teacher-force the test images'
+    # ground-truth templates through the training program itself: low
+    # accuracy HERE proves the failure is generalization, not numerics.
+    if "test" not in args.skip:
+        from myriad_tpu.datasets.anomaly_detection import (ABNORMAL_DESCRIBE,
+                                                           NORMAL_DESCRIBE)
+
+        ds_t = AnomalyDetectionDataset(
+            LocImageTrainProcessor(identity=True), BlipCaptionProcessor(),
+            data_root, ve_root="",
+            ann_paths=["DC_MVTEC_test_normal.jsonl"],
+            img_size=model.arch.img_size, crop_size=model.arch.img_size,
+            stage="test")
+        samples_t = next(iter(DataLoader(ds_t, batch_size=b_plain,
+                                         num_workers=0)))
+        image_t, _, _, maps_t, _ = model.prepare_sample(
+            samples_t, args.stage, training=False)
+        texts_t = [ABNORMAL_DESCRIBE if a else NORMAL_DESCRIBE
+                   for a in samples_t["is_anomaly"]]
+        tids_t, tmask_t = model.tokenize_targets(texts_t)
+        # pad to the aug-concat width so the SAME a_logits program runs
+        # (avoids a second full-attention compile): duplicate the batch
+        reps = -(-b_full // b_plain)
+        img_t = jnp.asarray(np.tile(image_t, (reps, 1, 1, 1))[:b_full])
+        maps_tj = jnp.asarray(np.tile(np.asarray(maps_t),
+                                      (reps, 1, 1, 1))[:b_full])
+        tids_f = np.tile(tids_t, (reps, 1))[:b_full]
+        tmask_f = np.tile(tmask_t, (reps, 1))[:b_full]
+        la_t, _ = a_logits(params, img_t, maps_tj, jnp.asarray(tids_f),
+                           jnp.asarray(tmask_f))
+        la_t = np.asarray(la_t, np.float32)[:b_plain]
+        pred_t = la_t[:, pfx - 1:-1].argmax(-1)
+        m_t = tmask_t.astype(bool)
+        out["test_teacher_forced_acc"] = round(
+            float((pred_t[m_t] == tids_t[m_t]).mean()), 4)
+        out["test_first_argmax"] = la_t[:, pfx - 1].argmax(-1)[:8].tolist()
+        out["test_first_target"] = tids_t[:3, 0].tolist()
+        print(f"[probe] test-image teacher-forced acc "
+              f"{out['test_teacher_forced_acc']} "
+              f"(train-image {out['teacher_forced_acc']})",
+              file=sys.stderr, flush=True)
+
     print(json.dumps(out))
     lock.__exit__(None, None, None)
 
