@@ -201,6 +201,11 @@ def main():
     if args.block is None:
         args.block = 0 if (args.spec or args.mode == "chat") else 8
     if args.block and args.slots % args.block:
+        # loud, not silent: an r5 sensitivity row requested block 16 over
+        # 40 slots and measured the per-row layout without saying so
+        print(f"[engineprobe] block {args.block} does not divide "
+              f"{args.slots} slots -> per-row layout (block 0)",
+              file=sys.stderr)
         args.block = 0
     serving = MyriadServing(
         model, slots=args.slots, segment=args.segment,
