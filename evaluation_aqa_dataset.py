@@ -76,6 +76,11 @@ def parse_args():
                         "max_admit_chunk; 8 keeps the admission mini-KV "
                         "inside the ~2 GiB headroom at the d32 int8 "
                         "serving profile — r5 capacity finding)")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="batches dispatched ahead of the blocking flush "
+                        "(async device queue depth).  1 = the r3 single-"
+                        "deep pipeline; 2 (default) also hides the "
+                        "~0.5 s/batch host tail the r5 phase split found")
     p.add_argument("--bench", action="store_true",
                    help="print a JSON throughput line (images/sec, excluding "
                         "the first compile batch) after the run")
@@ -363,12 +368,17 @@ def main():
         phases["hflush"].append(time.time() - t_h0)
         completions.append((time.time(), real_bs))
 
-    # 1-deep software pipeline: dispatch batch i+1 (JAX queues it
-    # asynchronously) BEFORE blocking on batch i's tokens, so the host-side
-    # tokenize/jsonl/preprocessing of one batch overlaps the device compute
-    # of the next.  The reference loop (evaluation_aqa_dataset.py:310-390)
-    # fully serializes CPU and GPU work.
-    pending = None  # (samples, outputs, real_bs)
+    # N-deep software pipeline: dispatch up to `depth` batches (JAX queues
+    # them asynchronously) BEFORE blocking on the oldest batch's tokens,
+    # so host-side tokenize/jsonl/preprocessing overlaps device compute.
+    # The reference loop (evaluation_aqa_dataset.py:310-390) fully
+    # serializes CPU and GPU work; depth 1 restores the r3 behavior,
+    # depth 2 (default) additionally hides the ~0.5 s/batch of host work
+    # the r5 phase decomposition found outside the 1-deep window.
+    from collections import deque
+
+    depth = max(1, args.pipeline_depth)
+    pending = deque()  # (samples, outputs, real_bs)
     with open(save_path, "w") as writer:
         t_c0 = time.time()
         for testid, samples in enumerate(dataloader):
@@ -391,12 +401,12 @@ def main():
             t_d0 = time.time()
             outputs = model.generate(samples, **generate_kwargs)
             phases["dispatch"].append(time.time() - t_d0)
-            if pending is not None:
-                flush(writer, *pending)
-            pending = (samples, outputs, real_bs)
+            pending.append((samples, outputs, real_bs))
+            if len(pending) > depth:
+                flush(writer, *pending.popleft())
             t_c0 = time.time()
-        if pending is not None:
-            flush(writer, *pending)
+        while pending:
+            flush(writer, *pending.popleft())
 
     n_batches = len(completions)
     print("Device Memory:", device_mem_mb())
