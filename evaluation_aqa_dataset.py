@@ -185,6 +185,9 @@ def run_engine_eval(args, model, dataloader, save_path):
         max_new_tokens=args.max_new_tokens, admit_widths=(64, 160, 320),
         spec_k=spec_k, block_size=block,
         max_admit_chunk=args.engine_admit_chunk)
+    # the engine may self-heal to per-row (LayoutCoordinationError
+    # fallback) — report the EFFECTIVE layout, not the requested one
+    block = serving.engine.block_size
 
     meta = {}
     t0 = time.time()
